@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (a) the headline feature-matrix pipeline on a deterministic synthetic
+event stream (SPARK_GRAFT_BENCH_ROWS, default 1M) and (b) the operator
+queries from __spark_entry__ on $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+Scaling-efficiency evidence (north_rule N -> 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py --headline-only
+  SPARK_GRAFT_CPUS=32 python bench.py --headline-only
+and compare rows_per_sec (see scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BENCH_QUERIES = [
+    "feature_matrix",
+    "asof_classify",
+    "sessionize",
+    "rolling",
+    "event_bins",
+    "interval_label",
+    "dedup_exact",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "text_stats",
+    "cosine_topk",
+    "tpch_q1",
+    "revenue_by_nation",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan; cheap count-style sink."""
+    return df.count()
+
+
+def main() -> None:
+    headline_only = "--headline-only" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+
+    from bgp_feature_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 8),
+    )
+
+    import __spark_entry__ as entrymod
+    from bgp_feature_extractor_spark.config import EngineConfig
+    from bgp_feature_extractor_spark.plans.feature_matrix import feature_matrix
+    from bgp_feature_extractor_spark.sources.synth import synth_events
+
+    results: dict[str, float] = {}
+
+    # headline: synthetic 1M-row point-in-time feature matrix
+    synth_path = f"/tmp/bench_events_{n_rows}.parquet"
+    if not os.path.isdir(synth_path):
+        synth_events(spark, n_rows).write.mode("overwrite").parquet(synth_path)
+    events = spark.read.parquet(synth_path)
+    cfg = EngineConfig(minutes_window=1)
+    t0 = time.perf_counter()
+    out_rows = _force(feature_matrix(events, None, cfg))
+    headline_sec = time.perf_counter() - t0
+    results["feature_matrix_synth"] = round(headline_sec, 3)
+
+    if not headline_only:
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "feature_matrix_and_operator_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+                "headline_rows": n_rows,
+                "headline_out_rows": out_rows,
+                "rows_per_sec": round(n_rows / headline_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

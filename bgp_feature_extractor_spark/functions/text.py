@@ -1,0 +1,96 @@
+"""Text-analysis functions for training-data pipelines — all pure JVM
+column expressions (SQL-mirrorable for the DuckDB oracle; no UDFs).
+
+  * token counting: whitespace words + a BPE-ish sub-token estimate
+  * quality scoring: length / punctuation / stopword ratios
+  * language ID: stopword-hit heuristic over a tiny per-language lexicon
+  * document fingerprint: polynomial rolling hash over words
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+FP_BASE = 1_000_003
+FP_MOD = (1 << 31) - 1
+
+
+def words(text_col):
+    return F.filter(F.split(text_col, " "), lambda w: w != "")
+
+
+def token_count(text_col):
+    """Whitespace token count."""
+    return F.size(words(text_col))
+
+
+def subtoken_count(text_col):
+    """BPE-ish estimate: words are split again on a char-class regex and
+    long words cost ceil(len/4) sub-tokens — a deterministic, cheap proxy
+    for tokenizer cost at 100TB (no Python tokenizer in the scan path)."""
+    w = words(text_col)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.greatest(F.lit(1), F.ceil(F.length(x) / 4.0)).cast("long"),
+    )
+
+
+def stopword_ratio(text_col):
+    w = words(F.lower(text_col))
+    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(0.0)
+
+
+def punct_ratio(text_col):
+    clean = F.regexp_replace(text_col, r"[^\w\s]", "")
+    return F.when(
+        F.length(text_col) > 0,
+        (F.length(text_col) - F.length(clean)) / F.length(text_col),
+    ).otherwise(0.0)
+
+
+def quality_score(text_col):
+    """Composite in [0,1]: rewards mid-length docs, some stopwords, little
+    punctuation — the standard cheap pre-filter before expensive scoring."""
+    n = token_count(text_col)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text_col)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text_col) * 4.0)
+    return (len_score + sw_score + punct_penalty) / 3.0
+
+
+def lang_guess(text_col):
+    """n-gram-free stopword-vote language ID (deterministic heuristic)."""
+    w = F.slice(words(F.lower(text_col)), 1, 64)
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
+        expr = F.when(hits > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, hits)
+    return expr
+
+
+def fingerprint(text_col):
+    """Polynomial rolling hash over the word sequence:
+    fp = sum(len(word_i) * BASE^i') mod p computed as a left fold —
+    order-sensitive, whitespace-normalized, cheap and collision-decent."""
+    w = words(text_col)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(FP_BASE) + F.length(x).cast("long") * F.lit(131)
+                        + F.coalesce(F.ascii(F.substring(x, 1, 1)), F.lit(0)).cast("long"))
+        % F.lit(FP_MOD),
+    )

@@ -1,0 +1,56 @@
+"""Event-time binning + dense bin spine (SURVEY.md §2.7 W1/W2).
+
+Reference semantics: ``bin = (ts - first_ts) // bin_size`` with first_ts the
+timestamp of the first event (bgpmetrics_as.py:279-280,352,365-366 — bins
+are data-anchored, not epoch-aligned), and a dense 0..last_bin spine with
+zero fill (bgpmetrics_as.py:776-819; feature-extractor.py:71).
+
+Scale: first_ts is a per-source scalar — computed with one tiny aggregate
+and joined back with an explicit broadcast, so adding the bin column costs
+no shuffle on the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bgp_feature_extractor_spark.config import EngineConfig
+
+
+def first_ts_per_source(events: DataFrame) -> DataFrame:
+    """Q4 anchor: min event ts per source (== first message of first file
+    under the reference's chronological file order)."""
+    return events.groupBy("source").agg(F.min("ts").alias("first_ts"))
+
+
+def with_bin(
+    df: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    cfg = cfg or EngineConfig()
+    return df.join(F.broadcast(firsts), "source").withColumn(
+        "bin",
+        ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size)).cast("long"),
+    )
+
+
+def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Left-join the aggregated matrix onto the full 0..max_bin spine and
+    zero-fill, then reconstruct timestamps (bgpmetrics_as.py:771-772)."""
+    cfg = cfg or EngineConfig()
+    max_bins = per_bin.groupBy("source").agg(F.max("bin").alias("max_bin"))
+    spine = max_bins.select(
+        "source", F.explode(F.sequence(F.lit(0), F.col("max_bin"))).alias("bin")
+    )
+    float_cols = {"edit_distance_avg", "rare_ases_avg"}
+    value_cols = [c for c in per_bin.columns if c not in ("source", "bin")]
+    out = spine.join(per_bin, ["source", "bin"], "left")
+    out = out.na.fill(0, [c for c in value_cols if c not in float_cols])
+    out = out.na.fill(0.0, list(float_cols & set(value_cols)))
+    out = (
+        out.join(F.broadcast(firsts), "source")
+        .withColumn("timestamp2", F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size))
+        .withColumn("timestamp", F.timestamp_seconds(F.col("timestamp2")))
+        .drop("first_ts")
+    )
+    return out

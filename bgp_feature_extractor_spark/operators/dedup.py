@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash math is integer-deterministic and expressible in ANSI SQL so every
+operator has a DuckDB oracle twin (driver correctness gate). The MinHash
+family is the scale path: signatures are computed with JVM higher-order
+array functions (no UDF), and the LSH band self-join turns the O(n²)
+pairwise problem into an equi-join on (band, band_signature) — shuffle on
+band keys, broadcast-free, skew-safe because band keys are hash-uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic affine hash family over a Mersenne prime; 2^31-1 keeps
+# a*(x mod p) < 2^62 so the math never overflows int64 (and the identical
+# expression is valid in the DuckDB oracle)
+MERSENNE = (1 << 31) - 1
+
+
+def _hash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — a simple LCG expansion of the seed so the
+    DuckDB oracle can inline the same constants."""
+    params = []
+    x = seed
+    for _ in range(n):
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        a = (x % (MERSENNE - 1)) + 1
+        x = (6364136223846793005 * x + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE
+        params.append((a, b))
+    return params
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: hash-group on content, keep the minimum id per group.
+    One shuffle on the content hash; at 100TB prefer md5(content) as the
+    group key (fixed 128-bit) over the raw content columns."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.withColumn("content_key", key)
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(tokens_col, n_hashes: int = 16, seed: int = 42):
+    """Column expression: array<long> of n_hashes min-hashes over an
+    array<long> token column. Pure JVM (transform + array_min)."""
+    exprs = []
+    for a, b in _hash_params(n_hashes, seed):
+        h = F.transform(
+            tokens_col,
+            lambda x: (F.lit(a) * (x.cast("long") % F.lit(MERSENNE)) + F.lit(b))
+            % F.lit(MERSENNE),
+        )
+        exprs.append(F.array_min(h))
+    return F.array(*exprs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    shingle->minhash->band->bucket-join: docs sharing any full band of the
+    signature become a candidate pair (id_a < id_b, distinct)."""
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.array_distinct(F.col(tokens_col)), n_hashes, seed).alias("sig"),
+    ).filter(F.size(F.col(tokens_col)) > 0)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)]
+                        ).alias("bkey"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", "bs.band", "bs.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_shingles(tokens_col, n: int = 3):
+    """array<string> of n-gram shingles, each a '-'-joined token run
+    (JVM: sequence + slice + array_join; strings rather than nested arrays
+    keep set ops engine-portable)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), "-"),
+        ),
+    ).otherwise(F.array(F.array_join(tokens_col, "-")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    group_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within blocking groups. The blocking-group
+    self-join bounds the quadratic blowup; at scale use minhash_lsh_pairs to
+    produce candidates and this to verify them."""
+    shingled = df.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngram_shingles(F.col(tokens_col), n)).alias("sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(tokens_col, bits: int = 31, seed: int = 42):
+    """SimHash over an array<long> token column, pure JVM: per-token affine
+    hash, per-bit +-1 vote via aggregate, sign -> bit."""
+    (a, b) = _hash_params(1, seed)[0]
+    h = F.transform(
+        tokens_col,
+        lambda x: (F.lit(a) * (x.cast("long") % F.lit(MERSENNE)) + F.lit(b))
+        % F.lit(MERSENNE),
+    )
+    bit_votes = [
+        F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + F.when(F.shiftright(v, i) % 2 == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(0)
+    return out

@@ -1,0 +1,51 @@
+"""Deterministic Spark-native synthetic event generator for benchmarks.
+
+Pure JVM expressions over ``spark.range`` — no Python in the generation
+path, so a 10^6..10^9-row stream materializes at scan speed. Zipf-ish skew:
+one hot source carries ~40% of rows (the north_rule's hot-AS analog), the
+rest spread over ``n_sources - 1`` uniform sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def synth_events(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    n_sources: int = 20,
+    entities_per_source: int = 5_000,
+    vocab: int = 10_000,
+    max_len: int = 15,
+    wd_pct: int = 15,
+    seed: int = 42,
+) -> DataFrame:
+    df = spark.range(n_rows).withColumnRenamed("id", "rid")
+    h = lambda salt: F.pmod(F.xxhash64("rid", F.lit(seed), F.lit(salt)), F.lit(1 << 31))  # noqa: E731
+    source = F.when(h(0) % 100 < 40, F.lit("src0")).otherwise(
+        F.concat(F.lit("src"), (1 + h(1) % (n_sources - 1)).cast("string"))
+    )
+    is_wd = h(2) % 100 < wd_pct
+    length = (1 + h(3) % max_len).cast("int")
+    # entity-sticky base token keeps duplicate/imp-wd classes non-trivial
+    ent = h(4) % entities_per_source
+    tokens = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.pmod(
+            F.xxhash64(ent, i, F.pmod(h(5), F.lit(7)), F.lit(seed)), F.lit(vocab)
+        ).cast("int"),
+    )
+    return df.select(
+        source.alias("source"),
+        F.concat(F.lit("e"), ent.cast("string")).alias("doc_id"),
+        F.col("rid").cast("long").alias("ts"),
+        F.col("rid").cast("long").alias("seq"),
+        F.when(is_wd, F.lit("wd")).otherwise(F.lit("ann")).alias("kind"),
+        F.when(~is_wd, tokens).alias("tokens"),
+        F.when(~is_wd, (h(6) % 3).cast("int")).alias("origin"),
+        F.when(
+            ~is_wd, F.create_map(F.lit("NH"), (h(7) % 8).cast("string"))
+        ).alias("attrs_sig"),
+    )
