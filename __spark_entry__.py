@@ -218,6 +218,78 @@ def q_feature_matrix_full(spark, sf_dir):
     return feature_matrix(_doc_events(spark, sf_dir), None, CFG).drop("timestamp")
 
 
+def _doc_intervals(matrix):
+    """Derived anomaly interval per source: the middle third of its
+    timestamp2 range (deterministic, SQL-mirrorable)."""
+    return matrix.groupBy("source").agg(
+        F.expr("min(timestamp2) + (max(timestamp2) - min(timestamp2)) div 3").alias(
+            "start_ts"
+        ),
+        F.expr("max(timestamp2) - (max(timestamp2) - min(timestamp2)) div 3").alias(
+            "end_ts"
+        ),
+        F.lit(1).cast("long").alias("label"),
+    )
+
+
+RATIO_OUT_COLS = ["source", "bin", "timestamp2", "class", "announcements", "withdrawals"]
+
+
+def q_label_ratios(spark, sf_dir):
+    """EP2: interval labeling (J4/F9) + the 19 ratio projections (P6/Q9)."""
+    from bgp_feature_extractor_spark.operators.ratios import RATIO_DEFS
+    from bgp_feature_extractor_spark.plans.label_pipeline import labeled_ratio_dataset
+
+    m = feature_matrix(_doc_events(spark, sf_dir), None, CFG).drop(*RARE_COLS, "timestamp")
+    out = labeled_ratio_dataset(m, _doc_intervals(m), CFG, pad=False)
+    return out.select(
+        *RATIO_OUT_COLS,
+        *[F.round(F.col(n), EMB_ROUND).alias(n) for n, _, _ in RATIO_DEFS],
+    )
+
+
+def q_pad_counts(spark, sf_dir):
+    """R2 batch padding: per-source row counts after pad-to-32."""
+    from bgp_feature_extractor_spark.plans.label_pipeline import labeled_ratio_dataset
+
+    m = feature_matrix(_doc_events(spark, sf_dir), None, CFG).drop(*RARE_COLS, "timestamp")
+    out = labeled_ratio_dataset(m, _doc_intervals(m), CFG, pad=True)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_padded"))
+
+
+def q_before_during_after(spark, sf_dir):
+    """A11 analysis: before/during/after mean+median + verbal deltas."""
+    from bgp_feature_extractor_spark.plans.label_pipeline import (
+        analyze_dataset,
+        labeled_ratio_dataset,
+    )
+
+    m = feature_matrix(_doc_events(spark, sf_dir), None, CFG).drop(*RARE_COLS, "timestamp")
+    iv = _doc_intervals(m)
+    lab = labeled_ratio_dataset(m, iv, CFG, pad=False)
+    cols = [
+        "announcements",
+        "withdrawals",
+        "ratio_ann",
+        "ratio_wd",
+        "ratio_dups",
+        "ratio_imp_wd",
+        "edit_distance_avg",
+        "as_path_avg",
+    ]
+    a = analyze_dataset(lab, iv, cols)
+    stats = [f"{p}_{s}" for p in ("before", "during", "after") for s in ("mean", "median")]
+    return a.select(
+        "source",
+        F.col("column").alias("feature"),
+        *[F.round(F.col(c), EMB_ROUND).alias(c) for c in stats],
+        "mean_verdict_before",
+        "mean_verdict_after",
+        "median_verdict_before",
+        "median_verdict_after",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup over documents text."""
     d = DD.dedup_exact(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
@@ -321,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_classify": q_asof_classify,
         "feature_matrix": q_feature_matrix,
         "feature_matrix_full": q_feature_matrix_full,
+        "label_ratios": q_label_ratios,
+        "pad_counts": q_pad_counts,
+        "before_during_after": q_before_during_after,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
@@ -597,8 +672,107 @@ FROM w3
 """
 
 
+_IV_SQL = """
+SELECT source,
+       min(timestamp2) + (max(timestamp2) - min(timestamp2)) // 3 AS start_ts,
+       max(timestamp2) - (max(timestamp2) - min(timestamp2)) // 3 AS end_ts
+FROM matrix GROUP BY source
+"""
+
+
+def _ratio_sql_exprs(round_to: int | None = EMB_ROUND) -> str:
+    from bgp_feature_extractor_spark.operators.ratios import RATIO_DEFS
+
+    parts = []
+    for name, num, den in RATIO_DEFS:
+        e = f"CASE WHEN ({den}) = 0 THEN 0.0 ELSE ({num}) / ({den}) END"
+        if round_to is not None:
+            e = f"round({e}, {round_to})"
+        parts.append(f"{e} AS {name}")
+    return ",\n  ".join(parts)
+
+
+def _label_ratios_sql() -> str:
+    return f"""
+WITH matrix AS ({_feature_matrix_sql()}),
+iv AS ({_IV_SQL})
+SELECT m.source, m.bin, m.timestamp2,
+  (CASE WHEN m.timestamp2 BETWEEN iv.start_ts AND iv.end_ts THEN 1 ELSE 0 END)::BIGINT AS class,
+  m.announcements, m.withdrawals,
+  {_ratio_sql_exprs()}
+FROM matrix m JOIN iv USING (source)
+"""
+
+
+def _before_during_after_sql() -> str:
+    cols = [
+        "announcements",
+        "withdrawals",
+        "ratio_ann",
+        "ratio_wd",
+        "ratio_dups",
+        "ratio_imp_wd",
+        "edit_distance_avg",
+        "as_path_avg",
+    ]
+    stack = "\nUNION ALL\n".join(
+        f"SELECT source, _period, '{c}' AS feature, {c}::DOUBLE AS value FROM lab"
+        for c in cols
+    )
+    per_stats = ",\n    ".join(
+        f"{a}(value) FILTER (_period = '{p}') AS {p}_{s}"
+        for p in ("before", "during", "after")
+        for s, a in (("mean", "avg"), ("median", "median"))
+    )
+    verdicts = []
+    for stat in ("mean", "median"):
+        sign = f"CASE WHEN round(CASE WHEN before_{stat} > 0 THEN 1 - during_{stat} / before_{stat} ELSE 1.0 END, 9) < 0 THEN 'higher' ELSE 'lower' END"
+        for ref in ("before", "after"):
+            d = f"abs(round(CASE WHEN {ref}_{stat} > 0 THEN 1 - during_{stat} / {ref}_{stat} ELSE 1.0 END, 9))"
+            verdicts.append(
+                f"""CASE WHEN {d} < 0.1 THEN 'pretty much the same'
+         WHEN {d} < 0.25 THEN 'slightly ' || {sign}
+         WHEN {d} < 0.5 THEN {sign}
+         ELSE 'much ' || {sign} END AS {stat}_verdict_{ref}"""
+            )
+    stats_out = ",\n  ".join(
+        f"round({p}_{s}, {EMB_ROUND}) AS {p}_{s}"
+        for p in ("before", "during", "after")
+        for s in ("mean", "median")
+    )
+    verdicts_out = ",\n  ".join(verdicts)
+    return f"""
+WITH matrix AS ({_feature_matrix_sql()}),
+iv AS ({_IV_SQL}),
+lab AS (
+  SELECT m.*, {_ratio_sql_exprs(round_to=None)},
+    CASE WHEN m.timestamp2 < iv.start_ts THEN 'before'
+         WHEN m.timestamp2 <= iv.end_ts THEN 'during'
+         ELSE 'after' END AS _period
+  FROM matrix m JOIN iv USING (source)
+),
+stacked AS ({stack}),
+per AS (
+  SELECT source, feature,
+    {per_stats}
+  FROM stacked GROUP BY source, feature
+)
+SELECT source, feature,
+  {stats_out},
+  {verdicts_out}
+FROM per
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+    sqls["label_ratios"] = _label_ratios_sql()
+    sqls["pad_counts"] = f"""
+WITH matrix AS ({_feature_matrix_sql()}),
+n AS (SELECT source, count(*) AS n FROM matrix GROUP BY source)
+SELECT source, n + (32 - n % 32) % 32 AS n_padded FROM n
+"""
+    sqls["before_during_after"] = _before_during_after_sql()
     sqls["event_bins"] = f"""
 WITH e AS ({_EV})
 SELECT bin, count(*) AS n_events,
