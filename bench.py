@@ -43,7 +43,15 @@ BENCH_QUERIES = [
 
 
 def _force(df) -> int:
-    """Execute the full plan; cheap count-style sink."""
+    """Execute the FULL plan. count() is not enough: Catalyst eliminates a
+    left join against a unique-keyed aggregate under count(), pruning the
+    whole fact pipeline. The noop sink materializes every column."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def _force_count(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
     return df.count()
 
 
@@ -74,9 +82,14 @@ def main() -> None:
         synth_events(spark, n_rows).write.mode("overwrite").parquet(synth_path)
     events = spark.read.parquet(synth_path)
     cfg = EngineConfig(minutes_window=1)
+    # one warmup execution: JVM codegen compile, Python worker pool spin-up,
+    # parquet footer caching — fixed costs that would otherwise dominate the
+    # measurement and mask scaling
+    _force(feature_matrix(events, None, cfg))
     t0 = time.perf_counter()
-    out_rows = _force(feature_matrix(events, None, cfg))
+    _force(feature_matrix(events, None, cfg))
     headline_sec = time.perf_counter() - t0
+    out_rows = feature_matrix(events, None, cfg).count()
     results["feature_matrix_synth"] = round(headline_sec, 3)
 
     if not headline_only:

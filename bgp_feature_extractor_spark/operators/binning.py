@@ -20,27 +20,45 @@ from bgp_feature_extractor_spark.config import EngineConfig
 
 def first_ts_per_source(events: DataFrame) -> DataFrame:
     """Q4 anchor: min event ts per source (== first message of first file
-    under the reference's chronological file order)."""
-    return events.groupBy("source").agg(F.min("ts").alias("first_ts"))
+    under the reference's chronological file order). Also carries max ts so
+    the dense spine can be derived WITHOUT re-executing the fact pipeline
+    (bin is monotone in ts, so max_bin = (max_ts - first_ts) // bin_size)."""
+    return events.groupBy("source").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
 
 
 def with_bin(
     df: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or EngineConfig()
-    return df.join(F.broadcast(firsts), "source").withColumn(
-        "bin",
-        ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size)).cast("long"),
+    return (
+        df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
+        .withColumn(
+            "bin",
+            ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size)).cast("long"),
+        )
+        .drop("first_ts")
     )
 
 
 def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
     """Left-join the aggregated matrix onto the full 0..max_bin spine and
-    zero-fill, then reconstruct timestamps (bgpmetrics_as.py:771-772)."""
+    zero-fill, then reconstruct timestamps (bgpmetrics_as.py:771-772).
+
+    The spine comes from the tiny per-source (first_ts, last_ts) aggregate,
+    NOT from per_bin — deriving max(bin) from per_bin would re-execute the
+    whole classify/rare/UDF/agg pipeline a second time (verified via
+    .explain: 28 exchanges before, half after)."""
     cfg = cfg or EngineConfig()
-    max_bins = per_bin.groupBy("source").agg(F.max("bin").alias("max_bin"))
-    spine = max_bins.select(
-        "source", F.explode(F.sequence(F.lit(0), F.col("max_bin"))).alias("bin")
+    spine = firsts.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.col("last_ts") - F.col("first_ts")) / F.lit(cfg.bin_size)).cast("long"),
+            )
+        ).alias("bin"),
     )
     float_cols = {"edit_distance_avg", "rare_ases_avg"}
     value_cols = [c for c in per_bin.columns if c not in ("source", "bin")]
@@ -48,7 +66,7 @@ def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None 
     out = out.na.fill(0, [c for c in value_cols if c not in float_cols])
     out = out.na.fill(0.0, list(float_cols & set(value_cols)))
     out = (
-        out.join(F.broadcast(firsts), "source")
+        out.join(F.broadcast(firsts.select("source", "first_ts")), "source")
         .withColumn("timestamp2", F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size))
         .withColumn("timestamp", F.timestamp_seconds(F.col("timestamp2")))
         .drop("first_ts")

@@ -1,0 +1,193 @@
+"""Structured Streaming twins of the batch operators (SURVEY §2.12).
+
+The reference is a single-pass batch job with event-time semantics; these
+are the engine's streaming generalizations:
+
+  * ``stream_bin_counts``  — W1 tumbling event-time bins with a watermark
+    for late data (the reference silently increments old bins; a watermark
+    makes that an explicit, bounded policy).
+  * ``stream_classify``    — J1/J2 as-of state machine as
+    ``applyInPandasWithState`` over groupBy(source, doc_id): the RIB becomes
+    per-group streaming state (last attrs + withdrawn flag).
+  * ``stream_sessions``    — W6 via ``session_window``.
+
+All are testable against static parquet via the memory sink +
+``processAllAvailable`` (no long-running infra in tests).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bgp_feature_extractor_spark.config import EngineConfig
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("origin", T.IntegerType()),
+        T.StructField("attrs_sig", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+CLS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("cls", T.StringType()),
+    ]
+)
+
+# state: last announced attrs + withdrawn flag; sig flattened to sorted
+# "k\x1fv" strings (maps are not supported in state schemas)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("known", T.BooleanType()),
+        T.StructField("withdrawn", T.BooleanType()),
+        T.StructField("origin", T.IntegerType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("sig", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def stream_bin_counts(
+    events: DataFrame, cfg: EngineConfig | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    cfg = cfg or EngineConfig()
+    ev = events.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy("source", F.window("event_time", f"{cfg.minutes_window} minutes"))
+        .agg(
+            F.sum(F.when(F.col("kind") == "ann", 1).otherwise(0)).alias("announcements"),
+            F.sum(F.when(F.col("kind") == "wd", 1).otherwise(0)).alias("withdrawals"),
+            F.approx_count_distinct("doc_id").alias("approx_entities"),
+        )
+    )
+
+
+def _sig_flat(sig) -> list[str]:
+    if sig is None:
+        return []
+    items = sig.items() if isinstance(sig, dict) else list(sig)
+    return sorted(f"{k}\x1f{v}" for k, v in items)
+
+
+def _classify_state_fn(cfg: EngineConfig):
+    unk = cfg.unknown_attr_prefix
+
+    def fn(key, pdfs, state: GroupState):
+        source, doc_id = key
+        if state.exists:
+            known, withdrawn, origin, tokens, sig = state.get
+            tokens = list(tokens) if tokens is not None else None
+            sig = list(sig) if sig is not None else []
+        else:
+            known, withdrawn, origin, tokens, sig = False, False, None, None, []
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "seq"], kind="stable")
+            for r in pdf.itertuples(index=False):
+                if r.kind == "wd":
+                    cls = "wd_dup" if withdrawn else "wd"
+                    withdrawn = True
+                else:
+                    new_tokens = list(r.tokens) if r.tokens is not None else []
+                    new_sig = _sig_flat(r.attrs_sig)
+                    has_unknown = any(s.split("\x1f")[0].startswith(unk) for s in new_sig)
+                    if known:
+                        path_diff = new_tokens != tokens
+                        any_diff = (
+                            has_unknown
+                            or path_diff
+                            or (r.origin != origin)
+                            or any(s not in sig for s in new_sig)
+                        )
+                    if known and not withdrawn:
+                        if any_diff or len(new_sig) != len(sig):
+                            cls = "imp_dpath" if path_diff else "imp_spath"
+                        else:
+                            cls = "dup"
+                    elif not withdrawn:
+                        cls = "new"
+                    elif known:
+                        cls = "nada" if any_diff else "flap"
+                        withdrawn = False
+                    else:
+                        cls = "unknown"
+                    # plain-Python values: the state tuple is pickled to the
+                    # JVM, which rejects numpy scalars
+                    known, origin, tokens, sig = (
+                        True,
+                        None if r.origin is None else int(r.origin),
+                        [int(t) for t in new_tokens],
+                        new_sig,
+                    )
+                rows.append((source, doc_id, int(r.ts), int(r.seq), r.kind, cls))
+        state.update((bool(known), bool(withdrawn), origin, tokens, sig))
+        yield pd.DataFrame(
+            rows, columns=["source", "doc_id", "ts", "seq", "kind", "cls"]
+        )
+
+    return fn
+
+
+def stream_classify(events: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Streaming as-of classification; state never expires (the reference's
+    RIB is unbounded too — swap NoTimeout for ProcessingTimeTimeout + a TTL
+    policy when entity churn is unbounded)."""
+    cfg = cfg or EngineConfig()
+    return events.groupBy("source", "doc_id").applyInPandasWithState(
+        _classify_state_fn(cfg),
+        CLS_OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    ev = events.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+    return (
+        ev.withWatermark("event_time", watermark)
+        .groupBy("source", F.session_window("event_time", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Test helper: drive a streaming query to completion against static
+    input and return the collected table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    out = stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    rows = out.collect()
+    q.stop()
+    return rows
