@@ -340,6 +340,23 @@ def q_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """LSH-blocked embedding-cosine near-duplicate pairs (threshold tuned
+    to the synthetic embedding distribution at small SF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nd = SIM.embedding_near_dup(emb, threshold=0.3, n_planes=8)
+    return nd.select("id_a", "id_b", F.round("cosine", EMB_ROUND).alias("cosine"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate NN: hyperplane-LSH bucket prune, exact cosine re-rank.
+    Query anchor vec_id=2 lands in a populated bucket at every SF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [r[0] for r in emb.filter(F.col("vec_id") == 2).select(F.explode("embedding")).collect()]
+    top = SIM.ann_lsh_topk(emb.filter(F.col("vec_id") != 2), q, k=10, n_planes=8)
+    return top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic OLAP agg surface (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -402,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh": q_ann_lsh,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -904,6 +923,42 @@ WHERE vec_id <> 0
 ORDER BY list_reduce(list_transform(list_zip(embedding::DOUBLE[], qv::DOUBLE[]), z -> z[1] * z[2]), (acc, x) -> acc + x)
     / (sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (acc, x) -> acc + x))
        * sqrt(list_reduce(list_transform(qv::DOUBLE[], x -> x * x), (acc, x) -> acc + x))) DESC, vec_id
+LIMIT 10
+"""
+    # hyperplane-LSH bucket: SQL mirror of operators/similarity.hyperplane_signature
+    # (seeded LCG plane weights; DuckDB lambda index i is 1-based -> i-1)
+    def _plane_dot(p: int) -> str:
+        return (
+            "list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * "
+            f"(((({p}*1000003) + (i-1)) * 2654435761) % 1048576 / 1048576.0 * 2 - 1)))"
+        )
+
+    _bucket = " + ".join(
+        f"CASE WHEN {_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(8)
+    )
+    _cos_ab = (
+        "list_reduce(list_transform(list_zip(a._v, b._v), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+        " / (sqrt(list_reduce(list_transform(a._v, x -> x * x), (acc, x) -> acc + x))"
+        " * sqrt(list_reduce(list_transform(b._v, x -> x * x), (acc, x) -> acc + x)))"
+    )
+    sqls["embedding_near_dup"] = f"""
+WITH bk AS (SELECT vec_id, embedding::DOUBLE[] AS _v, ({_bucket})::BIGINT AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_cos_ab}, {EMB_ROUND}) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_ab} >= 0.3
+"""
+    _cos_q = (
+        "list_reduce(list_transform(list_zip(a._v, q.qv), z -> z[1] * z[2]), (acc, x) -> acc + x)"
+        " / (sqrt(list_reduce(list_transform(a._v, x -> x * x), (acc, x) -> acc + x))"
+        " * sqrt(list_reduce(list_transform(q.qv, x -> x * x), (acc, x) -> acc + x)))"
+    )
+    sqls["ann_lsh"] = f"""
+WITH bk AS (SELECT vec_id, embedding::DOUBLE[] AS _v, ({_bucket})::BIGINT AS bucket FROM embeddings),
+q AS (SELECT _v AS qv, bucket AS qb FROM bk WHERE vec_id = 2)
+SELECT a.vec_id, round({_cos_q}, {EMB_ROUND}) AS cosine
+FROM bk a, q
+WHERE a.vec_id <> 2 AND a.bucket = q.qb
+ORDER BY {_cos_q} DESC, a.vec_id
 LIMIT 10
 """
     sqls["tpch_q1"] = f"""

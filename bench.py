@@ -77,7 +77,9 @@ def main() -> None:
     results: dict[str, float] = {}
 
     # headline: synthetic 1M-row point-in-time feature matrix
-    synth_path = f"/tmp/bench_events_{n_rows}.parquet"
+    cache_dir = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench-cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    synth_path = f"{cache_dir}/bench_events_{n_rows}.parquet"
     if not os.path.isdir(synth_path):
         synth_events(spark, n_rows).write.mode("overwrite").parquet(synth_path)
     events = spark.read.parquet(synth_path)

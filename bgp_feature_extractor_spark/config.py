@@ -32,8 +32,15 @@ class EngineConfig:
     # 'fold'   = repartition+sortWithinPartitions+mapInPandas ordered merge
     #            (north-star scale shape; byte-identical results).
     asof_strategy: str = "window"
-    # 'exact' = sequential per-source fold (reference-faithful, quirk Q5);
-    # 'block' = threshold frozen per rare_block paths (scale relaxation).
+    # 'exact' = reference-faithful (quirk Q5): Arrow-streaming per-source
+    #           kernel, zero-copy flat tokens (rare_bin_aggregates_stream);
+    # 'dist'  = reference-faithful, fully JVM-distributed (occurrence
+    #           windows + relational thresholds) for sources whose token
+    #           stream exceeds one worker's memory;
+    # 'fold'  = reference-faithful, one Python fold per source (the
+    #           reference's process model; bit-identical cross-check);
+    # 'off'   = rare family pinned to 0 (drops the only sequentially-
+    #           constrained features).
     rare_mode: str = "exact"
     # attrs_sig keys with this prefix model BGP attribute types the reference
     # does not know how to compare: is_equal returns None -> "different"

@@ -94,16 +94,9 @@ def aggregate_bins(classified: DataFrame, cfg: EngineConfig | None = None) -> Da
         # edit-distance family (bgpmetrics_as.py:640-664)
         F.coalesce(F.max("edit_dist"), F.lit(0)).cast("long").alias("edit_distance_max"),
         F.coalesce(F.avg("edit_dist"), F.lit(0.0)).alias("edit_distance_avg"),
-        # rare family (gated, bgpmetrics_as.py:614-628)
-        F.coalesce(F.sum(F.when(F.col("rare_gated"), F.col("rare_ct"))), F.lit(0)).alias(
-            "number_rare_ases"
-        ),
-        F.coalesce(F.max(F.when(F.col("rare_gated"), F.col("rare_ct"))), F.lit(0))
-        .cast("long")
-        .alias("rare_ases_max"),
-        F.coalesce(F.avg(F.when(F.col("rare_gated"), F.col("rare_ct"))), F.lit(0.0)).alias(
-            "rare_ases_avg"
-        ),
+        # rare family (Q5, bgpmetrics_as.py:614-628) is aggregated separately
+        # on a slim projection and broadcast-joined back — see
+        # operators/rare.rare_bin_aggregates / join_rare
     ]
     # A8 edit-distance histogram, keys clamped < pivot_limit (Q8 export rule)
     for k in range(cfg.pivot_limit):

@@ -4,21 +4,24 @@ Reference semantics are sequential-global per run: a frequency table over
 all tokens seen so far, a threshold re-percentiled (P20) every 1000 paths,
 post-increment rarity compare, and a 1000-path warm-up gate.
 
-Engine modes:
-  * 'exact' — applyInPandas per source: each source is one reference run
-    (the reference parallelized across peers with shell '&'; we parallelize
-    across sources the same way, inside one job). The kernel is fully
-    numpy-vectorized — the sequential recurrence decomposes into
+Engine modes (all reference-exact, asserted equal in tests):
+  * 'exact' (default) — :func:`rare_bin_aggregates_stream`: one hash
+    shuffle by source + ``mapInArrow`` streaming kernel with zero-copy
+    flat-token access. The numpy kernel decomposes the recurrence into
       (a) per-element occurrence index (stable argsort + run-relative
           arange == post-increment frequency of that token at that moment),
       (b) per-block frequency tables (bincount cumsum at block boundaries)
-          -> exact np.percentile thresholds,
+          -> exact P20 thresholds (np.partition order statistics),
       (c) rare_i = count of path tokens with occurrence < threshold(block).
-    Faithful to the last integer vs the dict-loop oracle (asserted in
-    tests), ~30x faster on hot sources, which keeps the Amdahl serial
-    fraction small when one source carries 40% of rows.
-  * 'block' — same math but thresholds frozen per whole block when the
-    stream is pre-sharded (scale relaxation; hardening milestone).
+    A 40%-hot source costs ~the raw kernel (seconds), and the stage
+    overlaps the independent classify/agg branch of the job DAG.
+  * 'dist' — :func:`rare_bin_aggregates_dist`: fully JVM-distributed
+    (row_number windows + relational threshold fold over the tiny
+    (tok, level) pre-aggregate); higher constant factors, but no
+    single-task buffering — for sources larger than one worker's memory.
+  * 'fold' — :func:`rare_bin_aggregates`: applyInPandas per source (the
+    reference's per-peer process model); smallest code path, used as the
+    cross-check oracle.
 """
 
 from __future__ import annotations
@@ -31,6 +34,17 @@ from pyspark.sql import types as T
 from bgp_feature_extractor_spark.config import EngineConfig
 
 
+def _percentile_linear(a: np.ndarray, pct: float) -> float:
+    """np.percentile(a, pct) (linear interpolation), via np.partition —
+    avoids np.percentile's per-call overhead in the per-block loop."""
+    q = (len(a) - 1) * (pct / 100.0)
+    k = int(q)
+    if k + 1 < len(a):
+        part = np.partition(a, (k, k + 1))
+        return float(part[k] + (q - k) * (part[k + 1] - part[k]))
+    return float(np.partition(a, k)[k])
+
+
 def rare_counts_exact(
     paths: list[np.ndarray], block: int = 1000, pctile: float = 20.0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -39,19 +53,51 @@ def rare_counts_exact(
     paths: per-path arrays of UNIQUE tokens, in arrival order.
     Returns (rare_ct, gated) per path."""
     n = len(paths)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=bool)
+    lens = np.fromiter((len(p) for p in paths), dtype=np.int64, count=n)
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in paths])
+        if lens.sum()
+        else np.zeros(0, dtype=np.int64)
+    )
+    return rare_counts_from_flat(flat, lens, block, pctile)
+
+
+def rare_counts_from_flat(
+    flat: np.ndarray, lens: np.ndarray, block: int = 1000, pctile: float = 20.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core kernel over the pre-flattened unique-token stream.
+
+    flat: concatenated per-path unique tokens (arrival order);
+    lens: unique-token count per path."""
+    n = len(lens)
     rare = np.zeros(n, dtype=np.int32)
     gated = np.zeros(n, dtype=bool)
     if n == 0:
         return rare, gated
-    lens = np.fromiter((len(p) for p in paths), dtype=np.int64, count=n)
     if lens.sum() == 0:
         gated[block - 1 :] = True  # 1-based path index >= block
         return rare, gated
-    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in paths])
+    flat = np.asarray(flat, dtype=np.int64)
     path_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-    # dense-remap tokens
-    uniq, tok_id = np.unique(flat, return_inverse=True)
-    V = len(uniq)
+    # dense-remap tokens. np.unique sorts (O(N log N), ~10s at 5M elements
+    # on low-entropy streams); token ids are non-negative and bounded
+    # (vocab / 32-bit AS numbers), so prefer an O(N) table remap and fall
+    # back to hash factorization for huge id spaces. Id ORDER is irrelevant
+    # downstream (ids only index bincount tables).
+    lo, hi = int(flat.min()), int(flat.max())
+    if lo >= 0 and hi < 1 << 24:
+        remap = np.full(hi + 1, -1, dtype=np.int64)
+        remap[flat] = 0
+        present = remap == 0
+        remap[present] = np.arange(int(present.sum()), dtype=np.int64)
+        tok_id = remap[flat]
+        V = int(present.sum())
+    else:
+        codes, uniq = pd.factorize(flat, sort=False)
+        tok_id = codes.astype(np.int64)
+        V = len(uniq)
     # (a) post-increment occurrence index per element
     order = np.argsort(tok_id, kind="stable")
     sorted_ids = tok_id[order]
@@ -81,7 +127,7 @@ def rare_counts_exact(
                 counts += np.bincount(tok_id[sl], minlength=V)
             seen = counts[counts > 0]
             if len(seen):
-                thr[m] = np.percentile(seen, pctile)
+                thr[m] = _percentile_linear(seen, pctile)
     # (c) rare per path: occurrence < thr(level of its path)
     level = np.minimum((np.arange(n, dtype=np.int64) + 1) // block, n_levels)
     elem_thr = thr[level][path_of]
@@ -119,55 +165,326 @@ def rare_counts_loop(
     return rare_ct, gated
 
 
-def _rare_kernel(cfg: EngineConfig):
+RARE_BIN_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("number_rare_ases", T.LongType()),
+        T.StructField("rare_ases_max", T.LongType()),
+        T.StructField("rare_ases_avg", T.DoubleType()),
+    ]
+)
+
+
+def _rare_bin_kernel(cfg: EngineConfig):
     block, pct = cfg.rare_block, cfg.rare_pctile
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "seq"], kind="stable").reset_index(drop=True)
-        kinds = pdf["kind"].to_numpy()
-        toks = pdf["tokens"].to_numpy(dtype=object)
-        is_path = np.fromiter(
-            ((kinds[i] == "ann") and (toks[i] is not None) for i in range(len(pdf))),
-            dtype=bool,
-            count=len(pdf),
+        toks = pdf["utokens"].to_numpy(dtype=object)
+        n = len(toks)
+        # tokens arrive already unique (array_distinct JVM-side); one C-level
+        # concatenate instead of n per-row np.unique calls
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.concatenate(list(toks)) if lens.sum() else np.zeros(0, dtype=np.int64)
+        rare, gated = rare_counts_from_flat(flat, lens, block, pct)
+        out = pd.DataFrame(
+            {"bin": pdf["bin"].to_numpy()[gated], "rare": rare[gated].astype(np.int64)}
         )
-        idx = np.nonzero(is_path)[0]
-        paths = [np.unique(np.asarray(toks[i], dtype=np.int64)) for i in idx]
-        rare, gated = rare_counts_exact(paths, block, pct)
-        rare_full = np.zeros(len(pdf), dtype=np.int32)
-        gated_full = np.zeros(len(pdf), dtype=bool)
-        rare_full[idx] = rare
-        gated_full[idx] = gated
-        pdf["rare_ct"] = rare_full
-        pdf["rare_gated"] = gated_full
-        return pdf
+        if not len(out):
+            return pd.DataFrame(
+                columns=["source", "bin", "number_rare_ases", "rare_ases_max", "rare_ases_avg"]
+            ).astype(
+                {
+                    "source": str,
+                    "bin": np.int64,
+                    "number_rare_ases": np.int64,
+                    "rare_ases_max": np.int64,
+                    "rare_ases_avg": np.float64,
+                }
+            )
+        g = out.groupby("bin")["rare"]
+        agg = pd.DataFrame(
+            {
+                "number_rare_ases": g.sum(),
+                "rare_ases_max": g.max(),
+                "rare_ases_avg": g.mean(),
+            }
+        ).reset_index()
+        agg.insert(0, "source", pdf["source"].iloc[0])
+        return agg
 
     return kernel
 
 
-def rare_stage(classified: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
-    """Adds per-event ``rare_ct`` / ``rare_gated`` columns.
+def rare_bin_aggregates(
+    classified_binned: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Per-(source, bin) rare-token aggregates (number/max/avg, gated).
 
-    Modes:
-      * 'exact' — one shuffle by source; sources process in parallel
-        (the reference's per-peer process model). A hot source serializes
-        into one task — the price of bit-exact Q5 semantics.
-      * 'off'   — rare features pinned to 0/ungated, no shuffle at all;
-        for deployments that drop the rare family (they are the only
-        sequentially-constrained features in the matrix).
-    """
+    Performance shape: only a SLIM projection (source, bin, ts, seq, tokens)
+    of announcement rows is shuffled to the per-source Python worker, and
+    the kernel returns per-bin aggregates (tiny) rather than tagging every
+    event — the full-width rows never round-trip through Arrow. A hot
+    source still serializes its own path stream (reference semantics, Q5);
+    everything else in the job keeps scaling.
+
+    rare_ases_avg == number/count because the reference's per-bin mean is
+    over the same gated values it sums (bgpmetrics_as.py:615-628).
+
+    Feed this the RAW binned event stream, not the classified one: rare
+    stats depend only on (source, order, tokens) — wiring it to the
+    classifier output would re-execute the whole classify window as a
+    second DAG branch (verified via profiling: ~2x classify cost). The
+    snapshot must NOT be included (the reference's RIB init never calls
+    classify_as_path, bgpmetrics_as.py:310-334)."""
     cfg = cfg or EngineConfig()
     from pyspark.sql import functions as F
 
-    if cfg.rare_mode == "off":
-        return classified.withColumn("rare_ct", F.lit(0)).withColumn(
-            "rare_gated", F.lit(False)
-        )
-    schema = T.StructType(
-        classified.schema.fields
-        + [
-            T.StructField("rare_ct", T.IntegerType(), False),
-            T.StructField("rare_gated", T.BooleanType(), False),
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select(
+        "source",
+        "bin",
+        "ts",
+        "seq",
+        F.array_distinct("tokens").alias("utokens"),
+    )
+    return slim.groupBy("source").applyInPandas(_rare_bin_kernel(cfg), RARE_BIN_SCHEMA)
+
+
+def rare_bin_aggregates_stream(
+    classified_binned: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Arrow-streaming rare aggregates — default 'exact' physical plan.
+
+    Shape: ONE hash shuffle by source + JVM sort within partitions, then a
+    ``mapInArrow`` pass that walks each partition's (source-contiguous,
+    ts-ordered) batches. Flat token access is zero-copy: the Arrow
+    ListArray's values buffer IS the concatenated token stream, so the hot
+    source costs ~the raw numpy kernel (~2s at 800k paths) instead of the
+    ~18s applyInPandas fold (pandas object-array conversion + per-row
+    concatenate). Bit-identical to rare_bin_aggregates / _dist (tested).
+
+    Memory note: the kernel buffers one source's unique-token stream
+    (8 bytes/token); a source whose stream exceeds executor memory should
+    use rare_mode='block' (frozen thresholds, shardable) — the exact
+    semantics (Q5) are inherently a per-source sequential recurrence."""
+    cfg = cfg or EngineConfig()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    block, pct = cfg.rare_block, cfg.rare_pctile
+
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    part = slim.repartition("source").sortWithinPartitions("source", "ts", "seq")
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("bin", pa.int64()),
+            ("number_rare_ases", pa.int64()),
+            ("rare_ases_max", pa.int64()),
+            ("rare_ases_avg", pa.float64()),
         ]
     )
-    return classified.groupBy("source").applyInPandas(_rare_kernel(cfg), schema)
+
+    def gen(batches):
+        cur = None
+        flats: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        bins: list[np.ndarray] = []
+
+        def flush():
+            if cur is None:
+                return None
+            flat = np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+            ln = np.concatenate(lens) if lens else np.zeros(0, dtype=np.int64)
+            bn = np.concatenate(bins) if bins else np.zeros(0, dtype=np.int64)
+            rare, gated = rare_counts_from_flat(flat, ln, block, pct)
+            if not gated.any():
+                return None
+            g = pd.DataFrame({"bin": bn[gated], "rare": rare[gated].astype(np.int64)})
+            agg = g.groupby("bin")["rare"].agg(["sum", "max", "mean"]).reset_index()
+            return pa.record_batch(
+                [
+                    pa.array([cur] * len(agg), pa.string()),
+                    pa.array(agg["bin"], pa.int64()),
+                    pa.array(agg["sum"], pa.int64()),
+                    pa.array(agg["max"], pa.int64()),
+                    pa.array(agg["mean"], pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+        for b in batches:
+            src = b.column(0).to_numpy(zero_copy_only=False)
+            bn = b.column(1).to_numpy(zero_copy_only=False)
+            toks = b.column(4)
+            n = len(src)
+            if n == 0:
+                continue
+            # contiguous runs of equal source within the sorted partition
+            starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+            ends = np.concatenate((starts[1:], [n]))
+            for i, j in zip(starts, ends):
+                if src[i] != cur:
+                    rb = flush()
+                    if rb is not None:
+                        yield rb
+                    cur = src[i]
+                    flats, lens, bins = [], [], []
+                run = toks.slice(i, j - i)
+                flats.append(run.flatten().to_numpy(zero_copy_only=False))
+                lens.append(pc.list_value_length(run).to_numpy(zero_copy_only=False).astype(np.int64))
+                bins.append(bn[i:j])
+        rb = flush()
+        if rb is not None:
+            yield rb
+
+    return part.mapInArrow(gen, RARE_BIN_SCHEMA)
+
+
+THR_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("m", T.LongType()),
+        T.StructField("thr", T.DoubleType()),
+    ]
+)
+
+
+def _thr_kernel(cfg: EngineConfig):
+    block, pct = cfg.rare_block, cfg.rare_pctile
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_levels = int(pdf["n_paths"].iloc[0]) // block
+        if n_levels == 0:
+            return pd.DataFrame({"source": [], "m": [], "thr": []}).astype(
+                {"source": str, "m": np.int64, "thr": np.float64}
+            )
+        tok_id = pd.factorize(pdf["tok"].to_numpy())[0]
+        m_min = pdf["m_min"].to_numpy(dtype=np.int64)
+        add = pdf["add"].to_numpy(dtype=np.int64)
+        V = int(tok_id.max()) + 1 if len(tok_id) else 1
+        order = np.argsort(m_min, kind="stable")
+        bounds = np.searchsorted(m_min[order], np.arange(1, n_levels + 2))
+        counts = np.zeros(V, dtype=np.int64)
+        thr = np.zeros(n_levels + 1, dtype=np.float64)
+        for m in range(1, n_levels + 1):
+            sl = order[bounds[m - 1] : bounds[m]]
+            if len(sl):
+                counts += np.bincount(tok_id[sl], weights=add[sl], minlength=V).astype(
+                    np.int64
+                )
+            seen = counts[counts > 0]
+            if len(seen):
+                thr[m] = np.percentile(seen, pct)
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "m": np.arange(1, n_levels + 1, dtype=np.int64),
+                "thr": thr[1:],
+            }
+        )
+
+    return kernel
+
+
+def rare_bin_aggregates_dist(
+    classified_binned: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Distributed twin of :func:`rare_bin_aggregates` — same numbers, no
+    hot-source straggler.
+
+    The reference's sequential recurrence (Q5, bgpmetrics_as.py:601-628)
+    decomposes into relational pieces that Spark parallelizes:
+
+      * post-increment token frequency == 1-based occurrence index of the
+        token in the per-source unique-token stream == ``row_number() OVER
+        (PARTITION BY source, tok ORDER BY path_idx)`` — fine-grained keys,
+        fully parallel, pure JVM;
+      * per-path ordering == ``row_number() OVER (PARTITION BY source ORDER
+        BY ts, seq)`` — skewed by source but JVM sort only (no Python on
+        this path), so a 40%-hot source costs one in-memory sort, not one
+        serialized Python fold;
+      * the threshold sequence (exact P20 re-percentiled every ``block``
+        paths) IS inherently sequential — but it only needs the tiny
+        pre-aggregated ``(tok, m_min, add)`` stream (bounded by
+        vocab x levels, not by events), so the per-source Python fold
+        handles a 40%-hot source in ~1s where the full fold took ~18s;
+      * rarity (occ < thr[level]) and the per-bin sum/max/avg are then a
+        broadcast join + hash aggregate.
+
+    Exactness is bit-for-bit with the fold kernel (asserted in
+    tests/test_rare_kernel.py): snapshot m covers 0-based paths
+    0..block*m-2 (m_min = (p+block+1)//block), path p uses level
+    (p+1)//block, and stats gate at p+1 >= block."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    block = cfg.rare_block
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    wp = Window.partitionBy("source").orderBy("ts", "seq")
+    paths = slim.select(
+        "source", "bin", "utokens", (F.row_number().over(wp) - 1).alias("p")
+    )
+    n_paths = paths.groupBy("source").agg(F.count(F.lit(1)).alias("n_paths"))
+
+    elems = paths.select("source", "p", F.explode("utokens").alias("tok"))
+
+    # threshold branch: pre-aggregate to (tok, first-contributing-level, add)
+    thr_in = (
+        elems.withColumn("m_min", F.floor((F.col("p") + block + 1) / block))
+        .groupBy("source", "tok", "m_min")
+        .agg(F.count(F.lit(1)).alias("add"))
+        .join(F.broadcast(n_paths), "source")
+        .filter(F.col("m_min") <= F.floor(F.col("n_paths") / block))
+    )
+    thr = thr_in.groupBy("source").applyInPandas(_thr_kernel(cfg), THR_SCHEMA)
+
+    # rarity branch: occurrence index vs the level threshold
+    wo = Window.partitionBy("source", "tok").orderBy("p")
+    occ = elems.withColumn("occ", F.row_number().over(wo))
+    rare_per_path = (
+        occ.withColumn("m", F.floor((F.col("p") + 1) / block))
+        .join(F.broadcast(thr), ["source", "m"], "left")
+        .filter(F.col("occ") < F.coalesce("thr", F.lit(0.0)))
+        .groupBy("source", "p")
+        .agg(F.count(F.lit(1)).alias("rare"))
+    )
+
+    gated = paths.filter(F.col("p") + 1 >= block).select("source", "p", "bin")
+    per_path = gated.join(rare_per_path, ["source", "p"], "left").withColumn(
+        "rare", F.coalesce("rare", F.lit(0))
+    )
+    return per_path.groupBy("source", "bin").agg(
+        F.sum("rare").alias("number_rare_ases"),
+        F.max("rare").cast("long").alias("rare_ases_max"),
+        F.avg("rare").alias("rare_ases_avg"),
+    )
+
+
+def join_rare(per_bin: DataFrame, rare_pb: DataFrame | None) -> DataFrame:
+    """Attach rare aggregates to the main per-bin matrix (broadcast — the
+    rare side is one row per (source, bin))."""
+    from pyspark.sql import functions as F
+
+    if rare_pb is None:
+        return (
+            per_bin.withColumn("number_rare_ases", F.lit(0).cast("long"))
+            .withColumn("rare_ases_max", F.lit(0).cast("long"))
+            .withColumn("rare_ases_avg", F.lit(0.0))
+        )
+    out = per_bin.join(F.broadcast(rare_pb), ["source", "bin"], "left")
+    return (
+        out.withColumn("number_rare_ases", F.coalesce("number_rare_ases", F.lit(0)))
+        .withColumn("rare_ases_max", F.coalesce("rare_ases_max", F.lit(0)))
+        .withColumn("rare_ases_avg", F.coalesce("rare_ases_avg", F.lit(0.0)))
+    )

@@ -3,12 +3,13 @@ feature-extractor.py:26-72; SURVEY.md §3).
 
 Physical shape (local[N] and cluster alike):
   scan events (+ snapshot union)
-    -> window classify          # shuffle 1: hash by (source, doc_id)
-    -> bin column               # broadcast join of per-source first_ts (no shuffle)
-    -> rare fold                # shuffle 2: by source (exact mode)
-    -> Arrow Levenshtein UDF    # map-side
-    -> groupBy(source, bin)     # shuffle 3: tiny partial aggregates
-    -> dense spine join + fill  # small
+    -> window classify             # shuffle 1: hash by (source, doc_id)
+    -> bin column                  # broadcast join of per-source first_ts
+    -> Arrow Levenshtein UDF       # map-side, on the uniform partitions
+    -> groupBy(source, bin)        # shuffle 2: partial+final hash agg
+    -> rare per-bin aggregates     # side branch: SLIM projection shuffled by
+                                   # source, per-bin partials broadcast back
+    -> dense spine join + fill     # broadcasts only
 """
 
 from __future__ import annotations
@@ -19,13 +20,18 @@ from pyspark.sql import functions as F
 from bgp_feature_extractor_spark.config import EngineConfig, golden_columns
 from bgp_feature_extractor_spark.functions.editdist import with_edit_distance
 from bgp_feature_extractor_spark.operators.aggregates import aggregate_bins
-from bgp_feature_extractor_spark.operators.asof import classify_window
+from bgp_feature_extractor_spark.operators.asof import EVENT_COLS, classify_window
 from bgp_feature_extractor_spark.operators.binning import (
     dense_spine,
     first_ts_per_source,
     with_bin,
 )
-from bgp_feature_extractor_spark.operators.rare import rare_stage
+from bgp_feature_extractor_spark.operators.rare import (
+    join_rare,
+    rare_bin_aggregates,
+    rare_bin_aggregates_dist,
+    rare_bin_aggregates_stream,
+)
 
 
 def classify(events: DataFrame, snapshot: DataFrame | None, cfg: EngineConfig) -> DataFrame:
@@ -56,8 +62,26 @@ def feature_matrix(
     # uniform partitions, and prev_tokens can be dropped before the skewed
     # rare exchange (hot sources shuffle ~40% less bytes)
     dist = with_edit_distance(binned, "tokens", "prev_tokens").drop("prev_tokens")
-    rared = rare_stage(dist, cfg)
-    per_bin = aggregate_bins(rared, cfg)
+    per_bin = aggregate_bins(dist, cfg)
+    # rare branch reads the RAW events (cheap pruned re-scan), not the
+    # classifier output — otherwise the classify window executes twice
+    raw_binned = with_bin(events.select(*EVENT_COLS), firsts, cfg)
+    if cfg.rare_mode == "exact":
+        # Arrow-streaming per-source kernel: one shuffle + zero-copy flat
+        # token access; the hot source costs ~the raw numpy kernel and its
+        # stage overlaps the independent classify/agg branch
+        rare_pb = rare_bin_aggregates_stream(raw_binned, cfg)
+    elif cfg.rare_mode == "dist":
+        # fully-JVM-distributed twin (windows + relational thresholds) —
+        # for inputs where ONE source's token stream exceeds worker memory
+        rare_pb = rare_bin_aggregates_dist(raw_binned, cfg)
+    elif cfg.rare_mode == "fold":
+        # single Python fold per source (reference process model);
+        # bit-identical to 'exact', kept for small inputs / cross-checks
+        rare_pb = rare_bin_aggregates(raw_binned, cfg)
+    else:
+        rare_pb = None
+    per_bin = join_rare(per_bin, rare_pb)
     dense = dense_spine(per_bin, firsts, cfg)
     return dense.select("source", "bin", *golden_columns(cfg))
 

@@ -29,3 +29,36 @@ def test_empty_and_short_streams():
     paths = [np.array([1, 2])] * 5  # shorter than one block
     r, g = rare_counts_exact(paths, block=10)
     assert not g.any() and not r.any()
+
+
+@pytest.mark.parametrize("variant", ["dist", "stream"])
+def test_distributed_equals_fold(spark, variant):
+    """Both scale-out physical plans — the Arrow-streaming kernel
+    ('exact') and the JVM-window relational decomposition ('dist') — are
+    bit-identical to the per-source Python fold ('fold'), including empty
+    token arrays, sub-block sources, and block boundaries."""
+    from dataclasses import replace
+
+    from bgp_feature_extractor_spark.config import EngineConfig
+    from bgp_feature_extractor_spark.operators.binning import (
+        first_ts_per_source,
+        with_bin,
+    )
+    from bgp_feature_extractor_spark.operators.rare import (
+        rare_bin_aggregates,
+        rare_bin_aggregates_dist,
+        rare_bin_aggregates_stream,
+    )
+    from bgp_feature_extractor_spark.sources.synth import synth_events
+
+    fn = {"dist": rare_bin_aggregates_dist, "stream": rare_bin_aggregates_stream}[variant]
+    cfg = replace(EngineConfig(), rare_block=50)
+    ev = synth_events(spark, 5_000, n_sources=4, entities_per_source=50, vocab=200)
+    binned = with_bin(ev, first_ts_per_source(ev), cfg)
+    fold = rare_bin_aggregates(binned, cfg).toPandas()
+    dist = fn(binned, cfg).toPandas()
+    key = ["source", "bin"]
+    fold = fold.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)[fold.columns]
+    assert fold.shape == dist.shape and fold.shape[0] > 0
+    np.testing.assert_array_equal(fold.values, dist.values)
