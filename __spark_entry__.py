@@ -46,11 +46,12 @@ def _doc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with an int token per word: ascii(first char)*256 + len%256
-    (deterministic + SQL-mirrorable)."""
+    """documents with an int token per word: first 60 bits of md5(word)
+    (deterministic + SQL-mirrorable; rich enough that distinct words don't
+    collide, which keeps LSH candidate sets honest)."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     toks = F.transform(
-        w, lambda x: (F.ascii(F.substring(x, 1, 1)) * 256 + F.length(x) % 256).cast("long")
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
     )
     return _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", toks.alias("tokens")
@@ -299,7 +300,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->join)."""
     return DD.minhash_lsh_pairs(
-        _word_tokens_docs(spark, sf_dir), "doc_id", "tokens", n_hashes=16, bands=4
+        _word_tokens_docs(spark, sf_dir), "doc_id", "tokens", n_hashes=32, bands=4
     )
 
 
@@ -600,7 +601,7 @@ JOIN firsts f USING (source)
 
 
 def _minhash_sql() -> str:
-    n_hashes, bands = 16, 4
+    n_hashes, bands = 32, 4
     rows = n_hashes // bands
     params = DD._hash_params(n_hashes)
     p = DD.MERSENNE
@@ -618,7 +619,7 @@ def _minhash_sql() -> str:
 WITH toks AS (
   SELECT doc_id AS _id,
          list_distinct(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
-             w -> (ascii(w[1]) * 256 + length(w) % 256)::BIGINT)) AS toks
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
   FROM documents
   WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
 ),
@@ -633,7 +634,7 @@ WHERE a._id < b._id
 _WORD_TOKS = """
 SELECT doc_id, lang, source,
        list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
-           w -> (ascii(w[1]) * 256 + length(w) % 256)::BIGINT) AS tokens
+           w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS tokens
 FROM documents
 """
 

@@ -47,16 +47,29 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
 def minhash_signature(tokens_col, n_hashes: int = 16, seed: int = 42):
     """Column expression: array<long> of n_hashes min-hashes over an
-    array<long> token column. Pure JVM (transform + array_min)."""
-    exprs = []
-    for a, b in _hash_params(n_hashes, seed):
-        h = F.transform(
-            tokens_col,
-            lambda x: (F.lit(a) * (x.cast("long") % F.lit(MERSENNE)) + F.lit(b))
-            % F.lit(MERSENNE),
-        )
-        exprs.append(F.array_min(h))
-    return F.array(*exprs)
+    array<long> token column. Pure JVM, and deliberately ONE ``aggregate``
+    fold with an array accumulator (elementwise ``least`` against the
+    per-hash affine values) instead of n_hashes separate
+    transform+array_min trees: the single small expression stays inside
+    whole-stage codegen, where the wide tree forced interpreted eval."""
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _hash_params(n_hashes, seed)
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE).cast("long"), n_hashes)
+    return F.aggregate(
+        tokens_col,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(
+                m, (p["a"] * (x.cast("long") % MERSENNE) + p["b"]) % MERSENNE
+            ),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -155,15 +168,22 @@ def simhash(tokens_col, bits: int = 31, seed: int = 42):
         lambda x: (F.lit(a) * (x.cast("long") % F.lit(MERSENNE)) + F.lit(b))
         % F.lit(MERSENNE),
     )
-    bit_votes = [
-        F.aggregate(
-            h,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + F.when(F.shiftright(v, i) % 2 == 1, 1).otherwise(-1),
-        )
-        for i in range(bits)
-    ]
-    out = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(0)
-    return out
+    # ONE fold carrying all per-bit votes as an array accumulator (the
+    # `bits` separate aggregate trees of the naive form blow past codegen
+    # limits and fall back to interpreted eval)
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, v: F.zip_with(
+            acc,
+            powers,
+            lambda cnt, p: cnt
+            + F.when(F.floor(v / p).cast("long") % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

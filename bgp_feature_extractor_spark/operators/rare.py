@@ -472,8 +472,15 @@ def rare_bin_aggregates_dist(
 
 
 def join_rare(per_bin: DataFrame, rare_pb: DataFrame | None) -> DataFrame:
-    """Attach rare aggregates to the main per-bin matrix (broadcast — the
-    rare side is one row per (source, bin))."""
+    """Attach rare aggregates to the main per-bin matrix.
+
+    Deliberately NOT a planner broadcast hint: ``F.broadcast(rare_pb)``
+    would materialize the rare branch as a blocking broadcast-exchange job
+    BEFORE the main DAG runs, serializing the two independent branches.
+    As a plain equi-join both branches execute concurrently inside one job
+    (the hot-source rare task hides under the classify/agg work), and AQE
+    still converts the join to broadcast at runtime — the rare side is one
+    row per (source, bin)."""
     from pyspark.sql import functions as F
 
     if rare_pb is None:
@@ -482,7 +489,7 @@ def join_rare(per_bin: DataFrame, rare_pb: DataFrame | None) -> DataFrame:
             .withColumn("rare_ases_max", F.lit(0).cast("long"))
             .withColumn("rare_ases_avg", F.lit(0.0))
         )
-    out = per_bin.join(F.broadcast(rare_pb), ["source", "bin"], "left")
+    out = per_bin.join(rare_pb, ["source", "bin"], "left")
     return (
         out.withColumn("number_rare_ases", F.coalesce("number_rare_ases", F.lit(0)))
         .withColumn("rare_ases_max", F.coalesce("rare_ases_max", F.lit(0)))
