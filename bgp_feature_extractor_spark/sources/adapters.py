@@ -37,6 +37,21 @@ def sequences_to_events(seqs: DataFrame, t0: int = 0, delta: int = 1) -> DataFra
     )
 
 
+def resolve_peer_index(entries: DataFrame, peer_index: DataFrame) -> DataFrame:
+    """RIB v2 snapshot resolution (SURVEY.md §2.1 S4 / §2.4 J3,
+    bgpmetrics_as.py:321-334): snapshot entries carry a positional
+    ``peer_index`` that resolves to the peer/source id through a tiny
+    dimension table built from the PEER_INDEX_TABLE record.
+
+    Spark shape: broadcast hash join — the index table is a few hundred
+    rows regardless of snapshot size, so the snapshot scan never shuffles.
+    Expects ``entries(peer_index, doc_id, tokens, origin, attrs_sig, ...)``
+    and ``peer_index(peer_index, source)``; returns entries with ``source``
+    resolved and the positional column dropped."""
+    resolved = entries.join(F.broadcast(peer_index), "peer_index", "inner")
+    return resolved.drop("peer_index")
+
+
 def documents_to_events(docs: DataFrame, entities: int = 50) -> DataFrame:
     """documents table -> deterministic update stream (SQL-mirrorable; the
     DuckDB twin lives in __spark_entry__.oracle_sql)."""

@@ -21,10 +21,13 @@ def synth_events(
     max_len: int = 15,
     wd_pct: int = 15,
     seed: int = 42,
+    hot_pct: int = 40,
 ) -> DataFrame:
+    """hot_pct: share of rows carried by the single hot source (skew knob;
+    40 = extreme hot-AS stress, 100//n_sources = uniform)."""
     df = spark.range(n_rows).withColumnRenamed("id", "rid")
     h = lambda salt: F.pmod(F.xxhash64("rid", F.lit(seed), F.lit(salt)), F.lit(1 << 31))  # noqa: E731
-    source = F.when(h(0) % 100 < 40, F.lit("src0")).otherwise(
+    source = F.when(h(0) % 100 < hot_pct, F.lit("src0")).otherwise(
         F.concat(F.lit("src"), (1 + h(1) % (n_sources - 1)).cast("string"))
     )
     is_wd = h(2) % 100 < wd_pct

@@ -1,66 +1,114 @@
 #!/usr/bin/env python
 """North-rule scaling evidence: identical feature-matrix job at N and 4N
 local cores on the same input; reports throughput at both + efficiency.
-Usage: python scripts/scaling_bench.py [rows] [N] — runs local[N] then
-local[4N] in separate JVMs (sequential; idle machine required). Default
-N=4: this sandbox exposes 32 hyperthreads but only ~16 cores of real
-compute (measured via a pure-CPU burn: 8->32 procs gives 2x, 4->16 gives
-3.55x), so 4->16 is the honest N->4N pair."""
+
+Usage: python scripts/scaling_bench.py [rows] [N] [rounds]
+
+Runs local[N] and local[4N] as two persistent child JVMs and interleaves
+timed executions round-robin, taking the MIN per level. Rationale: this
+sandbox's host runs bursty external workloads (loadavg spikes of 5-10
+cores with nothing visible in this namespace), and wall-clock noise only
+ever inflates a sample — interleaving exposes both levels to the same
+noise distribution and the min over many rounds converges to the quiet-
+machine number. Default N=4: the box exposes 32 hyperthreads but ~16
+cores of real compute (pure-CPU burn: 4->16 procs gives 3.55x), so 4->16
+is the honest N->4N pair.
+"""
 import json
 import os
 import subprocess
 import sys
+import time
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-RUNNER = r'''
+ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+# skew profile: 40 = extreme single-hot-source stress (bounded by the
+# reference's inherently sequential rare-threshold recurrence, quirk Q5);
+# 5 = uniform across 20 sources (measures the engine's own scaling)
+HOT_PCT = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+
+CHILD = r'''
 import sys, time, os
 sys.path.insert(0, "%(repo)s")
 from bgp_feature_extractor_spark.session import get_spark
 from bgp_feature_extractor_spark.plans.feature_matrix import feature_matrix
 from bgp_feature_extractor_spark.sources.synth import synth_events
 from bgp_feature_extractor_spark.config import EngineConfig
-cpus = int(sys.argv[1]); rows = int(sys.argv[2])
+cpus = int(sys.argv[1]); rows = int(sys.argv[2]); hot = int(sys.argv[3])
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2*cpus)
-path = f"%(repo)s/.bench-cache/bench_events_{rows}.parquet"
+suffix = "" if hot == 40 else f"_hot{hot}"
+path = f"%(repo)s/.bench-cache/bench_events_{rows}{suffix}.parquet"
 if not os.path.isdir(path):
-    synth_events(spark, rows).write.mode("overwrite").parquet(path)
+    synth_events(spark, rows, hot_pct=hot).write.mode("overwrite").parquet(path)
 ev = spark.read.parquet(path)
 def force(df): df.write.format("noop").mode("overwrite").save()
 cfg = EngineConfig()
 force(feature_matrix(ev, None, cfg))  # warm
-ts = []
-for _ in range(3):
-    t0 = time.perf_counter(); force(feature_matrix(ev, None, cfg)); ts.append(time.perf_counter() - t0)
-ts.sort()
-print(f"RESULT {cpus} {ts[1]:.3f}")
+print("READY", flush=True)
+for line in sys.stdin:
+    if line.strip() != "go":
+        break
+    t0 = time.perf_counter(); force(feature_matrix(ev, None, cfg))
+    print(f"T {time.perf_counter() - t0:.3f}", flush=True)
 '''
 
 
-def run(cpus: int) -> float:
+def spawn(cpus: int) -> subprocess.Popen:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = RUNNER % {"repo": repo}
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(ROWS)],
-        capture_output=True, text=True, timeout=1200,
+    return subprocess.Popen(
+        [sys.executable, "-c", CHILD % {"repo": repo}, str(cpus), str(ROWS), str(HOT_PCT)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT"):
-            return float(line.split()[2])
-    raise RuntimeError(out.stderr[-2000:])
+
+
+def wait_ready(p: subprocess.Popen) -> None:
+    for line in p.stdout:
+        if line.startswith("READY"):
+            return
+    raise RuntimeError("child died before READY")
+
+
+def one(p: subprocess.Popen) -> float:
+    p.stdin.write("go\n"); p.stdin.flush()
+    for line in p.stdout:
+        if line.startswith("T "):
+            return float(line.split()[1])
+    raise RuntimeError("child died mid-run")
 
 
 def main():
-    tn = run(N)
-    t4n = run(4 * N)
+    levels = [N, 4 * N]
+    # sequential spawn: the first child generates the dataset if missing;
+    # a concurrent spawn would race on the parquet write
+    procs = {}
+    for c in levels:
+        procs[c] = spawn(c)
+        wait_ready(procs[c])
+    times: dict[int, list[float]] = {c: [] for c in levels}
+    for r in range(ROUNDS):
+        for c in levels:
+            dt = one(procs[c])
+            load = open("/proc/loadavg").read().split()[0]
+            times[c].append(dt)
+            print(f"round={r} cpus={c} {dt:.2f}s load={load}", file=sys.stderr, flush=True)
+        time.sleep(3)
+    for c in levels:
+        try:
+            procs[c].stdin.close(); procs[c].wait(timeout=30)
+        except Exception:
+            procs[c].kill()
+    tn, t4n = min(times[N]), min(times[4 * N])
     thrn, thr4n = ROWS / tn, ROWS / t4n
-    eff = (thr4n / thrn) / 4
     print(json.dumps({
-        "rows": ROWS, "n": N, "4n": 4 * N,
+        "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "hot_pct": HOT_PCT,
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
+        f"all_sec@{N}": [round(t, 2) for t in times[N]],
+        f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],
         f"rows_per_sec@{N}": round(thrn, 1), f"rows_per_sec@{4*N}": round(thr4n, 1),
         "speedup_n_to_4n": round(thr4n / thrn, 3),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round((thr4n / thrn) / 4, 3),
     }))
 
 
