@@ -48,9 +48,10 @@ class EngineConfig:
     unknown_attr_prefix: str = "_unk"
     # shuffle parallelism for the entity repartition in the fold strategy
     num_partitions: int | None = None
-    # salt hot sources into this many sub-groups for the rare 'block' mode
-    # and per-bin aggregation when a source exceeds skew thresholds (M7).
-    skew_salt: int = 0
+    # 'block' rare mode: paths-per-shard for the salted hot-source split
+    # (thresholds freeze at shard boundaries; shards process in parallel
+    # and partials re-merge — operators/rare.rare_bin_aggregates_block)
+    rare_shard_paths: int = 50_000
 
     @property
     def bin_size(self) -> int:

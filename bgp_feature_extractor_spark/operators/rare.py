@@ -348,6 +348,374 @@ def rare_bin_aggregates_stream(
     return part.mapInArrow(gen, RARE_BIN_SCHEMA)
 
 
+def rare_counts_block_loop(
+    paths: list, block: int = 1000, pctile: float = 20.0, shard_paths: int = 50
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-python reference for the 'block' relaxation's contract — used as
+    the in-test oracle for rare_bin_aggregates_block.
+
+    Differences from the reference-exact recurrence (Q5):
+      * the threshold freezes at SHARD boundaries (every ``shard_paths``
+        paths) instead of every ``block`` paths, and is computed from the
+        counts of fully-completed prior shards only;
+      * token frequencies used for rarity exclude within-shard increments
+        from OTHER tokens' perspective — i.e. occ is still global and
+        post-increment (identical to exact), only the threshold lags.
+    The warm-up gate (p+1 >= block) is unchanged. Zero temporal leakage:
+    shard k's threshold sees only paths < k*shard_paths."""
+    n = len(paths)
+    rare_ct = np.zeros(n, dtype=np.int32)
+    gated = np.zeros(n, dtype=bool)
+    freq: dict[int, int] = {}
+    shard_start_freq: dict[int, int] = {}
+    threshold = 0.0
+    for i, toks in enumerate(paths):
+        if i % shard_paths == 0:
+            shard_start_freq = dict(freq)
+            vals = [v for v in shard_start_freq.values() if v > 0]
+            threshold = float(np.percentile(np.asarray(vals, dtype=np.int64), pctile)) if vals else 0.0
+        rare = 0
+        for tok in toks:
+            f = freq.get(tok, 0) + 1
+            freq[tok] = f
+            if f < threshold:
+                rare += 1
+        if i + 1 >= block:
+            rare_ct[i] = rare
+            gated[i] = True
+    return rare_ct, gated
+
+
+_BLOCK_CNT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("tok", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+_BLOCK_START_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("tok", T.LongType()),
+        T.StructField("start_cnt", T.LongType()),
+        T.StructField("thr", T.DoubleType()),
+    ]
+)
+
+
+def _block_merge_kernel(pctile: float):
+    """Per-source re-merge fold over the COMPACT (shard, tok, cnt) table:
+    O(vocab x shards), independent of event count. Emits, for every
+    (shard, tok) present, the token's cumulative count at shard start plus
+    the shard's frozen threshold."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["shard", "tok"], kind="stable")
+        shards = pdf["shard"].to_numpy(dtype=np.int64)
+        tok_codes, tok_uniq = pd.factorize(pdf["tok"].to_numpy())
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        V = len(tok_uniq)
+        cum = np.zeros(V, dtype=np.int64)
+        out_start = np.empty(len(pdf), dtype=np.int64)
+        out_thr = np.empty(len(pdf), dtype=np.float64)
+        bounds = np.searchsorted(shards, np.unique(shards))
+        uniq_shards = np.unique(shards)
+        ends = np.concatenate((bounds[1:], [len(pdf)]))
+        for s, lo, hi in zip(uniq_shards, bounds, ends):
+            seen = cum[cum > 0]
+            thr = _percentile_linear(seen, pctile) if len(seen) else 0.0
+            sl = slice(lo, hi)
+            out_start[sl] = cum[tok_codes[sl]]
+            out_thr[sl] = thr
+            np.add.at(cum, tok_codes[sl], cnt[sl])
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "shard": shards,
+                "tok": pdf["tok"].to_numpy(),
+                "start_cnt": out_start,
+                "thr": out_thr,
+            }
+        )
+
+    return kernel
+
+
+def rare_bin_aggregates_block(
+    classified_binned: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Salted, fully-parallel rare aggregates — the 10^12-row skew path
+    (north-star: "skewed sources are salted and re-merged").
+
+    Physical shape:
+      1. per-source path index (JVM window; the only per-source sort),
+         salt = p // rare_shard_paths -> (source, shard) keys;
+      2. PASS A (mapInArrow, parallel over shards): per-shard token counts
+         — compact (<= vocab rows/shard);
+      3. RE-MERGE (applyInPandas per source over the compact counts):
+         prefix-sums across shards -> per-(shard, tok) start counts +
+         frozen per-shard P20 thresholds. O(vocab x shards) regardless of
+         event count, so the serial fraction stays negligible at any SF;
+      4. PASS B (mapInArrow, parallel over shards): start rows are UNIONed
+         into the element stream ahead of each shard (state injection),
+         the kernel computes global occurrence = start + local cumcount,
+         flags rare (occ < thr), gates (p+1 >= rare_block), and emits
+         per-(shard, bin) partials;
+      5. final groupBy(source, bin) re-merges partials (sum/max/weighted
+         avg).
+
+    Threshold semantics are the documented relaxation of quirk Q5 (frozen
+    per shard, prior-shards-only — see rare_counts_block_loop); occurrence
+    indices and gating are identical to 'exact'. Zero leakage holds:
+    every threshold and occurrence uses strictly-prior paths."""
+    cfg = cfg or EngineConfig()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    S = cfg.rare_shard_paths
+    block, pct = cfg.rare_block, cfg.rare_pctile
+
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    wp = Window.partitionBy("source").orderBy("ts", "seq")
+    paths = slim.select(
+        "source",
+        "bin",
+        "utokens",
+        (F.row_number().over(wp) - 1).alias("p"),
+    ).withColumn("shard", F.floor(F.col("p") / S))
+    part = paths.repartition("source", "shard").sortWithinPartitions(
+        "source", "shard", "p"
+    )
+
+    cnt_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("shard", pa.int64()),
+            ("tok", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def pass_a(batches):
+        # vectorized per-(source, shard) token counts: batches arrive sorted
+        # by (source, shard, p), so keys form contiguous runs
+        acc: dict[tuple, list] = {}
+        for b in batches:
+            src = b.column(0).to_numpy(zero_copy_only=False)
+            shard = b.column(4).to_numpy(zero_copy_only=False)
+            toks = b.column(2)
+            n = len(src)
+            if n == 0:
+                continue
+            change = np.concatenate(
+                ([True], (src[1:] != src[:-1]) | (shard[1:] != shard[:-1]))
+            )
+            starts = np.flatnonzero(change)
+            ends = np.concatenate((starts[1:], [n]))
+            for i, j in zip(starts, ends):
+                run = toks.slice(i, j - i)
+                flat = run.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+                acc.setdefault((src[i], int(shard[i])), []).append(flat)
+        rows_src, rows_shard, rows_tok, rows_cnt = [], [], [], []
+        for (s, sh), flats in acc.items():
+            uniq, c = np.unique(np.concatenate(flats), return_counts=True)
+            rows_src.extend([s] * len(uniq))
+            rows_shard.extend([sh] * len(uniq))
+            rows_tok.extend(uniq.tolist())
+            rows_cnt.extend(c.tolist())
+        yield pa.record_batch(
+            [
+                pa.array(rows_src, pa.string()),
+                pa.array(rows_shard, pa.int64()),
+                pa.array(rows_tok, pa.int64()),
+                pa.array(rows_cnt, pa.int64()),
+            ],
+            schema=cnt_schema,
+        )
+
+    cnts = part.mapInArrow(pass_a, _BLOCK_CNT_SCHEMA)
+    merged = cnts.groupBy("source").applyInPandas(
+        _block_merge_kernel(pct), _BLOCK_START_SCHEMA
+    )
+
+    # state injection: start rows (marker -1) sort ahead of elements within
+    # each (source, shard) partition
+    elems_in = part.select(
+        "source",
+        "shard",
+        F.col("p"),
+        F.col("bin"),
+        "utokens",
+        F.lit(None).cast("long").alias("tok"),
+        F.lit(None).cast("long").alias("start_cnt"),
+        F.lit(None).cast("double").alias("thr"),
+        F.lit(0).alias("marker"),
+    )
+    starts_in = merged.select(
+        "source",
+        "shard",
+        F.lit(None).cast("long").alias("p"),
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(None).cast("array<int>").alias("utokens"),
+        "tok",
+        "start_cnt",
+        "thr",
+        F.lit(-1).alias("marker"),
+    )
+    union = (
+        starts_in.unionByName(elems_in)
+        .repartition("source", "shard")
+        .sortWithinPartitions("source", "shard", "marker", "p")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("bin", pa.int64()),
+            ("rare_sum", pa.int64()),
+            ("rare_max", pa.int64()),
+            ("n_paths", pa.int64()),
+        ]
+    )
+
+    def pass_b(batches):
+        # buffers for the current (source, shard) group
+        cur = None
+        s_tok: list[np.ndarray] = []
+        s_cnt: list[np.ndarray] = []
+        s_thr = [0.0]
+        e_flat: list[np.ndarray] = []
+        e_lens: list[np.ndarray] = []
+        e_bin: list[np.ndarray] = []
+        e_p: list[np.ndarray] = []
+
+        def flush():
+            if cur is None or not e_lens:
+                return None
+            flat = (
+                np.concatenate(e_flat).astype(np.int64)
+                if e_flat
+                else np.zeros(0, dtype=np.int64)
+            )
+            lens = np.concatenate(e_lens)
+            bins_ = np.concatenate(e_bin)
+            ps = np.concatenate(e_p)
+            # local post-increment occurrence within the shard (argsort trick)
+            n_el = len(flat)
+            occ = np.zeros(n_el, dtype=np.int64)
+            if n_el:
+                order = np.argsort(flat, kind="stable")
+                sf = flat[order]
+                new_run = np.empty(n_el, dtype=bool)
+                new_run[0] = True
+                new_run[1:] = sf[1:] != sf[:-1]
+                starts2 = np.flatnonzero(new_run)
+                run_idx = np.cumsum(new_run) - 1
+                occ_sorted = np.arange(n_el, dtype=np.int64) - starts2[run_idx] + 1
+                occ[order] = occ_sorted
+                # add cross-shard start counts (sorted lookup)
+                if s_tok:
+                    st = np.concatenate(s_tok)
+                    sc = np.concatenate(s_cnt)
+                    o2 = np.argsort(st, kind="stable")
+                    st, sc = st[o2], sc[o2]
+                    pos = np.searchsorted(st, flat)
+                    pos_c = np.clip(pos, 0, len(st) - 1)
+                    hit = st[pos_c] == flat
+                    occ = occ + np.where(hit, sc[pos_c], 0)
+            is_rare = occ < s_thr[0]
+            path_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            rare = np.bincount(path_of[is_rare], minlength=len(lens)).astype(np.int64)
+            g = (ps + 1) >= block
+            if not g.any():
+                return None
+            df = pd.DataFrame({"bin": bins_[g], "rare": rare[g]})
+            a = df.groupby("bin")["rare"].agg(["sum", "max", "count"]).reset_index()
+            return pa.record_batch(
+                [
+                    pa.array([cur[0]] * len(a), pa.string()),
+                    pa.array(a["bin"], pa.int64()),
+                    pa.array(a["sum"], pa.int64()),
+                    pa.array(a["max"], pa.int64()),
+                    pa.array(a["count"], pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+        for b in batches:
+            src = b.column(0).to_numpy(zero_copy_only=False)
+            shard = b.column(1).to_numpy(zero_copy_only=False)
+            pcol = b.column(2).to_numpy(zero_copy_only=False)
+            bncol = b.column(3).to_numpy(zero_copy_only=False)
+            toks = b.column(4)
+            tok = b.column(5).to_numpy(zero_copy_only=False)
+            start_cnt = b.column(6).to_numpy(zero_copy_only=False)
+            thrcol = b.column(7).to_numpy(zero_copy_only=False)
+            marker = b.column(8).to_numpy(zero_copy_only=False)
+            n = len(src)
+            if n == 0:
+                continue
+            change = np.concatenate(
+                ([True], (src[1:] != src[:-1]) | (shard[1:] != shard[:-1]))
+            )
+            rstarts = np.flatnonzero(change)
+            rends = np.concatenate((rstarts[1:], [n]))
+            for i, j in zip(rstarts, rends):
+                key = (src[i], int(shard[i]))
+                if key != cur:
+                    rb = flush()
+                    if rb is not None:
+                        yield rb
+                    cur = key
+                    s_tok, s_cnt, s_thr = [], [], [0.0]
+                    e_flat, e_lens, e_bin, e_p = [], [], [], []
+                # start rows (marker -1) precede elements within the run
+                mk = marker[i:j]
+                n_start = int((mk == -1).sum())
+                if n_start:
+                    s_tok.append(tok[i : i + n_start].astype(np.int64))
+                    s_cnt.append(start_cnt[i : i + n_start].astype(np.int64))
+                    s_thr[0] = float(thrcol[i])
+                if i + n_start < j:
+                    run = toks.slice(i + n_start, j - i - n_start)
+                    e_flat.append(run.flatten().to_numpy(zero_copy_only=False))
+                    e_lens.append(
+                        pc.list_value_length(run)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    e_bin.append(bncol[i + n_start : j].astype(np.int64))
+                    e_p.append(pcol[i + n_start : j].astype(np.int64))
+        rb = flush()
+        if rb is not None:
+            yield rb
+
+    partials = union.mapInArrow(
+        pass_b,
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("bin", T.LongType()),
+                T.StructField("rare_sum", T.LongType()),
+                T.StructField("rare_max", T.LongType()),
+                T.StructField("n_paths", T.LongType()),
+            ]
+        ),
+    )
+    return partials.groupBy("source", "bin").agg(
+        F.sum("rare_sum").alias("number_rare_ases"),
+        F.max("rare_max").alias("rare_ases_max"),
+        (F.sum("rare_sum") / F.sum("n_paths")).alias("rare_ases_avg"),
+    )
+
+
 THR_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType()),

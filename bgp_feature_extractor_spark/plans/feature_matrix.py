@@ -29,6 +29,7 @@ from bgp_feature_extractor_spark.operators.binning import (
 from bgp_feature_extractor_spark.operators.rare import (
     join_rare,
     rare_bin_aggregates,
+    rare_bin_aggregates_block,
     rare_bin_aggregates_dist,
     rare_bin_aggregates_stream,
 )
@@ -75,6 +76,10 @@ def feature_matrix(
         # fully-JVM-distributed twin (windows + relational thresholds) —
         # for inputs where ONE source's token stream exceeds worker memory
         rare_pb = rare_bin_aggregates_dist(raw_binned, cfg)
+    elif cfg.rare_mode == "block":
+        # salted + re-merged relaxation (thresholds frozen per shard):
+        # fully parallel even on one 40%-hot source — the 10^12-row path
+        rare_pb = rare_bin_aggregates_block(raw_binned, cfg)
     elif cfg.rare_mode == "fold":
         # single Python fold per source (reference process model);
         # bit-identical to 'exact', kept for small inputs / cross-checks

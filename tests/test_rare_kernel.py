@@ -31,6 +31,66 @@ def test_empty_and_short_streams():
     assert not g.any() and not r.any()
 
 
+def test_block_mode_matches_contract_oracle(spark):
+    """'block' relaxation (salted shards, thresholds frozen per shard,
+    prior-shards-only): the 3-pass Spark plan equals the sequential
+    pure-python contract oracle, including non-aligned shard boundaries."""
+    from dataclasses import replace
+
+    import pandas as pd
+
+    from bgp_feature_extractor_spark.config import EngineConfig
+    from bgp_feature_extractor_spark.operators.binning import (
+        first_ts_per_source,
+        with_bin,
+    )
+    from bgp_feature_extractor_spark.operators.rare import (
+        rare_bin_aggregates_block,
+        rare_counts_block_loop,
+    )
+    from bgp_feature_extractor_spark.sources.synth import synth_events
+
+    cfg = replace(EngineConfig(), rare_block=50, rare_shard_paths=37)
+    ev = synth_events(spark, 5_000, n_sources=4, entities_per_source=50, vocab=200).cache()
+    binned = with_bin(ev, first_ts_per_source(ev), cfg)
+    got = (
+        rare_bin_aggregates_block(binned, cfg)
+        .toPandas()
+        .sort_values(["source", "bin"])
+        .reset_index(drop=True)
+    )
+    pdf = binned.filter("kind = 'ann' AND tokens IS NOT NULL").select(
+        "source", "bin", "ts", "seq", "tokens"
+    ).toPandas()
+    rows = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values(["ts", "seq"])
+        paths = [list(np.unique(np.asarray(t, dtype=np.int64))) for t in g["tokens"]]
+        rare, gated = rare_counts_block_loop(paths, block=50, pctile=20.0, shard_paths=37)
+        sub = pd.DataFrame({"bin": g["bin"].to_numpy()[gated], "rare": rare[gated]})
+        a = sub.groupby("bin")["rare"].agg(["sum", "max", "mean"]).reset_index()
+        a.insert(0, "source", src)
+        rows.append(a)
+    want = (
+        pd.concat(rows)
+        .rename(
+            columns={
+                "sum": "number_rare_ases",
+                "max": "rare_ases_max",
+                "mean": "rare_ases_avg",
+            }
+        )
+        .sort_values(["source", "bin"])
+        .reset_index(drop=True)
+    )
+    got = got[want.columns]
+    assert got.shape == want.shape and got.shape[0] > 0
+    assert (got["source"].values == want["source"].values).all()
+    np.testing.assert_allclose(
+        got.select_dtypes("number").values, want.select_dtypes("number").values
+    )
+
+
 @pytest.mark.parametrize("variant", ["dist", "stream"])
 def test_distributed_equals_fold(spark, variant):
     """Both scale-out physical plans — the Arrow-streaming kernel
