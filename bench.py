@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "simhash",
     "text_stats",
     "cosine_topk",
+    "embedding_near_dup",
+    "ann_lsh",
     "tpch_q1",
     "revenue_by_nation",
 ]
