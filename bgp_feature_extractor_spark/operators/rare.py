@@ -98,41 +98,42 @@ def rare_counts_from_flat(
         codes, uniq = pd.factorize(flat, sort=False)
         tok_id = codes.astype(np.int64)
         V = len(uniq)
-    # (a) post-increment occurrence index per element
+    # (a) post-increment occurrence index per element, kept in token-sorted
+    # order (the original-order scatter is never needed: (c) compares in
+    # sorted order and bincounts by path id, which is order-insensitive)
     order = np.argsort(tok_id, kind="stable")
     sorted_ids = tok_id[order]
-    run_start = np.zeros(len(flat), dtype=np.int64)
     new_run = np.empty(len(flat), dtype=bool)
     new_run[0] = True
     new_run[1:] = sorted_ids[1:] != sorted_ids[:-1]
     run_idx = np.cumsum(new_run) - 1
     starts = np.nonzero(new_run)[0]
     occ_sorted = np.arange(len(flat), dtype=np.int64) - starts[run_idx] + 1
-    occ = np.empty(len(flat), dtype=np.int64)
-    occ[order] = occ_sorted
     # (b) thresholds at block boundaries: after path (block*m - 1) 0-based
     # path p (1-based) uses threshold level m = p // block
     n_levels = n // block  # levels 1..n_levels have computed thresholds
     thr = np.zeros(n_levels + 1, dtype=np.float64)  # level 0 = initial 0
     if n_levels:
         # element with 0-based path p is inside the level-m snapshot iff
-        # p < block*m - 1  =>  smallest such m is ceil((p+2)/block)
+        # p < block*m - 1  =>  smallest such m is ceil((p+2)/block).
+        # m_min is non-decreasing (path_of is), so no sort is needed —
+        # level slices are contiguous in element order.
         m_min = (path_of + block + 1) // block
-        lv_order = np.argsort(m_min, kind="stable")
-        bounds = np.searchsorted(m_min[lv_order], np.arange(1, n_levels + 2))
+        bounds = np.searchsorted(m_min, np.arange(1, n_levels + 2))
         counts = np.zeros(V, dtype=np.int64)
         for m in range(1, n_levels + 1):
-            sl = lv_order[bounds[m - 1] : bounds[m]]
+            sl = tok_id[bounds[m - 1] : bounds[m]]
             if len(sl):
-                counts += np.bincount(tok_id[sl], minlength=V)
+                counts += np.bincount(sl, minlength=V)
             seen = counts[counts > 0]
             if len(seen):
                 thr[m] = _percentile_linear(seen, pctile)
-    # (c) rare per path: occurrence < thr(level of its path)
+    # (c) rare per path: occurrence < thr(level of its path), evaluated in
+    # token-sorted order
     level = np.minimum((np.arange(n, dtype=np.int64) + 1) // block, n_levels)
-    elem_thr = thr[level][path_of]
-    is_rare = occ < elem_thr
-    rare = np.bincount(path_of[is_rare], minlength=n).astype(np.int32)
+    path_sorted = path_of[order]
+    is_rare = occ_sorted < thr[level][path_sorted]
+    rare = np.bincount(path_sorted[is_rare], minlength=n).astype(np.int32)
     gated = (np.arange(n, dtype=np.int64) + 1) >= block
     rare[~gated] = 0
     return rare, gated
