@@ -12,7 +12,8 @@ union of all committed bucket outputs.
 Storage is plain parquet directories (an Iceberg catalog is not available
 in this image; the layout — data partitioned by bucket + an append-only
 lineage log — is exactly what an Iceberg table with a bucket partition
-spec would give, and `to_iceberg()` is gated behind an import-try).
+spec would give). `sources/iceberg.py:write_table` upgrades the same
+calls to real Iceberg tables when the runtime jar + catalog are present.
 """
 
 from __future__ import annotations
