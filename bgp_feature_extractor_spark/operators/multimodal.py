@@ -125,6 +125,54 @@ def synth_media(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, decoder=fake_decode
+) -> DataFrame:
+    """Image-resize plumbing (mapInPandas, no shuffle): decode -> pixel
+    grid -> nearest-neighbor resample to (width, height) -> flat float
+    array. The decode is the stubbed step; the resample itself is real
+    numpy (index-grid gather), so swapping in a real decoder yields real
+    resized images with the same schema, batching, and partitioning."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            ids, pixels = [], []
+            for media_id, payload, kind, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"], pdf["meta"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                vec = decoder(b, kind, meta)
+                # interpret the decoded vector as a square-ish source grid
+                side = max(1, int(np.sqrt(vec.size)))
+                src = np.resize(vec, (side, side))
+                yi = np.minimum((np.arange(height) * side) // height, side - 1)
+                xi = np.minimum((np.arange(width) * side) // width, side - 1)
+                out = src[np.ix_(yi, xi)]
+                ids.append(media_id)
+                pixels.append(out.ravel().astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array([width] * len(ids), dtype="int32"),
+                    "height": pd.array([height] * len(ids), dtype="int32"),
+                    "pixels": pixels,
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices 0..n_frames-1
     step every_n (decode of individual frames is the stubbed part)."""

@@ -43,3 +43,22 @@ def test_frame_sampling(spark):
     vids = {r["media_id"] for r in frames}
     assert all(r["frame_idx"] in (0, 10, 20) for r in frames)
     assert len(frames) == 3 * len(vids)
+
+
+def test_resize_images(spark):
+    from bgp_feature_extractor_spark.operators.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    out = resize_images(media, width=4, height=3).toPandas()
+    # only image rows survive; every output is a 4x3 flat grid
+    assert len(out) == 10
+    assert (out["width"] == 4).all() and (out["height"] == 3).all()
+    assert out["pixels"].map(len).eq(12).all()
+    # deterministic across runs
+    out2 = resize_images(media, width=4, height=3).toPandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["pixels"].map(tuple) == b["pixels"].map(tuple)).all()
