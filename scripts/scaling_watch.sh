@@ -10,8 +10,10 @@ mkdir -p "$REPO/.bench-cache"
 while true; do
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$LOAD') < 1.5 else 1)"; then
-    for HOT in 5 40; do
-      R=$(cd "$REPO" && timeout 900 python scripts/scaling_bench.py 2000000 4 3 "$HOT" 2>/dev/null | tail -1)
+    # 8M uniform: throughput scaling with fixed costs amortized;
+    # 2M 40%-hot: the skew stress case
+    for ARGS in "8000000 4 3 5" "2000000 4 3 40"; do
+      R=$(cd "$REPO" && timeout 1800 python scripts/scaling_bench.py $ARGS 2>/dev/null | tail -1)
       [ -n "$R" ] && echo "$R" >> "$OUT"
     done
   fi
