@@ -799,7 +799,7 @@ SELECT bin, count(*) AS n_events,
   count(*) FILTER (event_type = 'purchase') AS n_purchase,
   count(*) FILTER (event_type = 'error') AS n_error,
   count(DISTINCT user_id) AS n_users,
-  sum(round(value * 100)::BIGINT) AS sum_value_cents,
+  sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents,
   max(value) AS max_value
 FROM e GROUP BY bin ORDER BY bin
 """
@@ -837,7 +837,7 @@ per AS (
   SELECT user_id, session_id, max(tsl) - min(tsl) AS duration_s, count(*) AS n_events
   FROM s GROUP BY user_id, session_id
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
        max(duration_s) AS max_duration_s,
        round(avg(duration_s), {EMB_ROUND}) AS avg_duration_s
 FROM per GROUP BY user_id
@@ -964,9 +964,9 @@ LIMIT 10
 """
     sqls["tpch_q1"] = f"""
 SELECT l_returnflag, l_linestatus,
-  sum(round(l_quantity)::BIGINT) AS sum_qty,
-  sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_price_cents,
-  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) AS sum_disc_price_e4,
+  sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_price_cents,
+  sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT AS sum_disc_price_e4,
   round(avg(round(l_quantity)::BIGINT), {EMB_ROUND}) AS avg_qty,
   count(*) AS count_order
 FROM lineitem
@@ -975,7 +975,7 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
     sqls["revenue_by_nation"] = """
-SELECT n_name, sum(round(o_totalprice * 100)::BIGINT) AS revenue_cents, count(*) AS n_orders
+SELECT n_name, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents, count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

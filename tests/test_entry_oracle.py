@@ -71,6 +71,19 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     assert len(got) == len(want), f"{name} rows {len(got)} != {len(want)}"
     g, w = _norm(got), _norm(want)
+    # Dtype-strict: the driver's value hash is repr-sensitive, so an int64
+    # Spark column vs a float64 oracle column (e.g. DuckDB sum(BIGINT) ->
+    # HUGEINT -> float64) hash-mismatches even when every value is equal.
+    # Compare numpy dtype *kind* (i/u vs f vs b vs O vs M) to catch that
+    # class of drift locally before the driver does.
+    for c in g.columns:
+        gk, wk = g[c].dtype.kind, w[c].dtype.kind
+        if {gk, wk} <= {"i", "u"}:
+            continue
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind mismatch spark={g[c].dtype} oracle={w[c].dtype}"
+            " — cast the oracle expression (e.g. sum(...)::BIGINT)"
+        )
     for c in g.columns:
         gv, wv = g[c].tolist(), w[c].tolist()
         bad = [
