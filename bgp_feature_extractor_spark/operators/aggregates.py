@@ -40,20 +40,15 @@ def _cnt(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0))
 
 
-def aggregate_bins(classified: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
-    """classified: output of classify_* + rare stage (rare_ct, rare_gated)
-    + edit_dist column. Returns one row per (source, bin)."""
-    cfg = cfg or EngineConfig()
+def _as_path_avg_expr(len_col: Column) -> Column:
+    """A5 Py2 pseudo-mean fold (quirk Q1): array_sort'ed collect_list of
+    (ts, seq, len) then a JVM higher-order fold in arrival order."""
     is_ann = F.col("kind") == "ann"
-    is_wd = F.col("kind") == "wd"
-    cls = F.col("cls")
-
-    # A5 fold input: per-bin (ts, seq, n_tok) in arrival order
     path_entry = F.when(
         is_ann,
-        F.struct(F.col("ts").alias("ts"), F.col("seq").alias("seq"), F.col("n_tok").alias("len")),
+        F.struct(F.col("ts").alias("ts"), F.col("seq").alias("seq"), len_col.alias("len")),
     )
-    as_path_avg = F.aggregate(
+    return F.aggregate(
         F.array_sort(F.collect_list(path_entry)),
         F.struct(F.lit(0).cast("long").alias("i"), F.lit(0).cast("long").alias("v")),
         lambda acc, x: F.struct(
@@ -62,6 +57,77 @@ def aggregate_bins(classified: DataFrame, cfg: EngineConfig | None = None) -> Da
         ),
         lambda acc: acc["v"],
     )
+
+
+def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
+    """The aggregates that would de-optimize the main pass, computed on a slim
+    projection of the RAW binned events (no classify/edit-distance dependency
+    — kind/doc_id/ts/seq/tokens are source columns):
+
+      * ``as_path_avg`` — collect_list forces the WHOLE aggregation into
+        interpreted ObjectHashAggregate (no whole-stage codegen), so mixing it
+        with the ~50 plain sums made every one of them interpreted (measured
+        16.9s vs 1.2s for the codegen pass alone at 8M rows / 16 cores).
+      * ``unique_as_path_avg`` — max_by keyed on struct(ts, seq) carries a
+        struct aggregation buffer, which HashAggregateExec cannot hold in an
+        UnsafeRow; its presence demoted the whole main pass to SortAggregate
+        (map-side sort of every event by (source, bin)).
+      * ``nlri_ann`` — exact count-distinct triggers the two-phase distinct
+        rewrite (extra shuffle keyed by (source, bin, doc_id)); over this slim
+        projection that is cheap, over the 50-agg pass it is not. It is a
+        separate groupBy here so the distinct rewrite does not also drag the
+        collect_list fold through two exchanges.
+
+    Joined back on (source, bin) by aggregate_bins; the raw scan branch is
+    shared with the rare stage, so at scale this costs slim re-scans that
+    overlap the classify branch in the DAG.
+    """
+    is_ann = F.col("kind") == "ann"
+    slim = raw_binned.select(
+        "source",
+        "bin",
+        "kind",
+        "doc_id",
+        "ts",
+        "seq",
+        F.size("tokens").alias("n_tok"),
+        F.size(F.array_distinct("tokens")).alias("uniq_len"),
+    )
+    n_paths = _cnt(is_ann)
+    last_uniq = F.max_by(F.when(is_ann, F.col("uniq_len")), F.when(is_ann, F.struct("ts", "seq")))
+    uniq_max = F.max(F.when(is_ann, F.col("uniq_len")))
+    unique_as_path_avg = F.coalesce(
+        last_uniq + F.floor(uniq_max / n_paths).cast("long"), F.lit(0)
+    )
+    folds = slim.groupBy("source", "bin").agg(
+        _as_path_avg_expr(F.col("n_tok")).alias("as_path_avg"),
+        unique_as_path_avg.alias("unique_as_path_avg"),
+    )
+    distincts = slim.groupBy("source", "bin").agg(
+        F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann")
+    )
+    return folds.join(distincts, ["source", "bin"], "inner")
+
+
+def aggregate_bins(
+    classified: DataFrame,
+    cfg: EngineConfig | None = None,
+    slim: DataFrame | None = None,
+) -> DataFrame:
+    """classified: output of classify_* + rare stage (rare_ct, rare_gated)
+    + edit_dist column. Returns one row per (source, bin).
+
+    ``slim``: optional raw binned events (same rows as ``classified``, pre-
+    classification). When given, as_path_avg / nlri_ann are computed from it
+    in a separate slim pass (see fold_bin_aggregates) so the main ~50-column
+    aggregation stays a single whole-stage-codegen HashAggregate. The
+    (source, bin) key sets are identical (classify preserves every event
+    row), so the join is key-aligned by construction.
+    """
+    cfg = cfg or EngineConfig()
+    is_ann = F.col("kind") == "ann"
+    is_wd = F.col("kind") == "wd"
+    cls = F.col("cls")
 
     n_paths = _cnt(is_ann)
     last_uniq = F.max_by(F.when(is_ann, F.col("uniq_len")), F.when(is_ann, F.struct("ts", "seq")))
@@ -84,13 +150,9 @@ def aggregate_bins(classified: DataFrame, cfg: EngineConfig | None = None) -> Da
         _cnt(F.col("to_longer")).alias("ann_to_longer"),
         _cnt(F.col("to_shorter")).alias("ann_to_shorter"),
         _cnt(F.col("origin_changed")).alias("origin_changes"),
-        # A2 exact count-distinct of announced entities (bgpmetrics_as.py:398-399)
-        F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann"),
         # A3 maxima (bgpmetrics_as.py:630-633); long-typed for oracle schema parity
         F.coalesce(F.max(F.when(is_ann, F.col("n_tok"))), F.lit(0)).cast("long").alias("as_path_max"),
         F.coalesce(uniq_max, F.lit(0)).cast("long").alias("unique_as_path_max"),
-        as_path_avg.alias("as_path_avg"),
-        unique_as_path_avg.alias("unique_as_path_avg"),
         # edit-distance family (bgpmetrics_as.py:640-664)
         F.coalesce(F.max("edit_dist"), F.lit(0)).cast("long").alias("edit_distance_max"),
         F.coalesce(F.avg("edit_dist"), F.lit(0.0)).alias("edit_distance_avg"),
@@ -105,7 +167,21 @@ def aggregate_bins(classified: DataFrame, cfg: EngineConfig | None = None) -> Da
     for code in cfg.origin_values:
         aggs.append(_cnt(is_ann & (F.col("origin") == code)).alias(f"origin_{code}"))
 
-    out = classified.groupBy("source", "bin").agg(*aggs)
+    if slim is None:
+        # single-pass form: A2 exact count-distinct of announced entities
+        # (bgpmetrics_as.py:398-399) + the A5 fold + A6 in the same aggregation
+        aggs.append(F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann"))
+        aggs.append(_as_path_avg_expr(F.col("n_tok")).alias("as_path_avg"))
+        aggs.append(unique_as_path_avg.alias("unique_as_path_avg"))
+        out = classified.groupBy("source", "bin").agg(*aggs)
+    else:
+        # split form: plain sums stay whole-stage-codegen; fold / max_by /
+        # distinct run on the slim raw branch and join back on the aligned
+        # key set
+        main = classified.groupBy("source", "bin").agg(*aggs)
+        out = main.join(fold_bin_aggregates(slim), ["source", "bin"], "left").na.fill(
+            {"as_path_avg": 0, "nlri_ann": 0, "unique_as_path_avg": 0}
+        )
     # Q3: exported unique dict is a verbatim copy of the plain dict
     for k in range(cfg.pivot_limit):
         out = out.withColumn(f"edit_distance_unique_dict_{k}", F.col(f"edit_distance_dict_{k}"))

@@ -63,10 +63,14 @@ def feature_matrix(
     # uniform partitions, and prev_tokens can be dropped before the skewed
     # rare exchange (hot sources shuffle ~40% less bytes)
     dist = with_edit_distance(binned, "tokens", "prev_tokens").drop("prev_tokens")
-    per_bin = aggregate_bins(dist, cfg)
     # rare branch reads the RAW events (cheap pruned re-scan), not the
     # classifier output — otherwise the classify window executes twice
     raw_binned = with_bin(events.select(*EVENT_COLS), firsts, cfg)
+    # slim=raw_binned: as_path_avg (collect_list fold) and nlri_ann (exact
+    # distinct) move to their own slim pass over the raw branch so the
+    # 50-column aggregate stays one whole-stage-codegen HashAggregate
+    # (measured 16.9s -> ~5s at 8M rows; see operators/aggregates.py)
+    per_bin = aggregate_bins(dist, cfg, slim=raw_binned)
     if cfg.rare_mode == "exact":
         # Arrow-streaming per-source kernel: one shuffle + zero-copy flat
         # token access; the hot source costs ~the raw numpy kernel and its
