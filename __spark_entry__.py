@@ -249,6 +249,36 @@ def q_label_ratios(spark, sf_dir):
     )
 
 
+def q_csv_round_trip(spark, sf_dir):
+    """S7 -> S6 -> EP2: the matrix is written to a reference-layout CSV
+    (header, per-source directories), read back with the explicit schema +
+    fix_columns repair, and fed through the same label/ratio pipeline —
+    oracled by the SAME SQL as label_ratios, so any drift through the CSV
+    (dtype, zero-fill, column loss) is a hash mismatch."""
+    import shutil
+    import tempfile
+
+    from bgp_feature_extractor_spark.operators.ratios import RATIO_DEFS
+    from bgp_feature_extractor_spark.plans.feature_matrix import to_reference_csv
+    from bgp_feature_extractor_spark.plans.label_pipeline import labeled_ratio_dataset
+    from bgp_feature_extractor_spark.sources.feature_csv import read_feature_csv
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_rt_")
+    try:
+        path = f"{tmp}/features_csv"
+        to_reference_csv(feature_matrix(_doc_events(spark, sf_dir), None, CFG), path, CFG)
+        m = read_feature_csv(spark, path, CFG).drop(*RARE_COLS, "timestamp")
+        out = labeled_ratio_dataset(m, _doc_intervals(m), CFG, pad=False)
+        rows = out.select(
+            *RATIO_OUT_COLS,
+            *[F.round(F.col(n), EMB_ROUND).alias(n) for n, _, _ in RATIO_DEFS],
+        )
+        # materialize before the temp CSV disappears
+        return spark.createDataFrame(rows.toPandas(), rows.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_pad_counts(spark, sf_dir):
     """R2 batch padding: per-source row counts after pad-to-32."""
     from bgp_feature_extractor_spark.plans.label_pipeline import labeled_ratio_dataset
@@ -412,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "feature_matrix_full": q_feature_matrix_full,
         "label_ratios": q_label_ratios,
+        "csv_round_trip": q_csv_round_trip,
         "pad_counts": q_pad_counts,
         "before_during_after": q_before_during_after,
         "dedup_exact": q_dedup_exact,
@@ -787,6 +818,8 @@ FROM per
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["label_ratios"] = _label_ratios_sql()
+    # the CSV round trip must be value-identical to the direct DF path
+    sqls["csv_round_trip"] = _label_ratios_sql()
     sqls["pad_counts"] = f"""
 WITH matrix AS ({_feature_matrix_sql()}),
 n AS (SELECT source, count(*) AS n FROM matrix GROUP BY source)
