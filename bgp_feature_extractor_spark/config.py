@@ -39,9 +39,19 @@ class EngineConfig:
     #           stream exceeds one worker's memory;
     # 'fold'  = reference-faithful, one Python fold per source (the
     #           reference's process model; bit-identical cross-check);
+    # 'block' = salted shards + re-merge (thresholds frozen per shard —
+    #           documented relaxation; fully parallel on a hot source);
+    # 'auto'  = 'exact' while every source fits comfortably in one task,
+    #           'block' once the hottest source crosses rare_auto_rows
+    #           (AQE-style plan decision off the tiny per-source stats
+    #           aggregate the pipeline computes anyway);
     # 'off'   = rare family pinned to 0 (drops the only sequentially-
     #           constrained features).
-    rare_mode: str = "exact"
+    rare_mode: str = "auto"
+    # 'auto' switchover: rows in the HOTTEST single source above which the
+    # per-source-sequential exact kernel becomes the job straggler / memory
+    # risk (5M paths x ~8 unique tokens x 8B ~= 300MB task state)
+    rare_auto_rows: int = 5_000_000
     # attrs_sig keys with this prefix model BGP attribute types the reference
     # does not know how to compare: is_equal returns None -> "different"
     # (quirk Q6, bgpmetrics_as.py:677-722).

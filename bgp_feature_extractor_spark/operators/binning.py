@@ -22,9 +22,12 @@ def first_ts_per_source(events: DataFrame) -> DataFrame:
     """Q4 anchor: min event ts per source (== first message of first file
     under the reference's chronological file order). Also carries max ts so
     the dense spine can be derived WITHOUT re-executing the fact pipeline
-    (bin is monotone in ts, so max_bin = (max_ts - first_ts) // bin_size)."""
+    (bin is monotone in ts, so max_bin = (max_ts - first_ts) // bin_size),
+    and the per-source row count used by the rare-mode auto-selector."""
     return events.groupBy("source").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

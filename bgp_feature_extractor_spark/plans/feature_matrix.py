@@ -71,20 +71,28 @@ def feature_matrix(
     # 50-column aggregate stays one whole-stage-codegen HashAggregate
     # (measured 16.9s -> ~5s at 8M rows; see operators/aggregates.py)
     per_bin = aggregate_bins(dist, cfg, slim=raw_binned)
-    if cfg.rare_mode == "exact":
+    rare_mode = cfg.rare_mode
+    if rare_mode == "auto":
+        # AQE-style driver decision from the cached per-source stats row set
+        # (one row per source — NOT a data collect): the exact kernel is
+        # per-source sequential, so a single source above the threshold
+        # would straggle the stage / blow one task's memory at scale.
+        hottest = firsts.agg(F.max("n_rows")).first()[0] or 0
+        rare_mode = "exact" if hottest <= cfg.rare_auto_rows else "block"
+    if rare_mode == "exact":
         # Arrow-streaming per-source kernel: one shuffle + zero-copy flat
         # token access; the hot source costs ~the raw numpy kernel and its
         # stage overlaps the independent classify/agg branch
         rare_pb = rare_bin_aggregates_stream(raw_binned, cfg)
-    elif cfg.rare_mode == "dist":
+    elif rare_mode == "dist":
         # fully-JVM-distributed twin (windows + relational thresholds) —
         # for inputs where ONE source's token stream exceeds worker memory
         rare_pb = rare_bin_aggregates_dist(raw_binned, cfg)
-    elif cfg.rare_mode == "block":
+    elif rare_mode == "block":
         # salted + re-merged relaxation (thresholds frozen per shard):
         # fully parallel even on one 40%-hot source — the 10^12-row path
         rare_pb = rare_bin_aggregates_block(raw_binned, cfg)
-    elif cfg.rare_mode == "fold":
+    elif rare_mode == "fold":
         # single Python fold per source (reference process model);
         # bit-identical to 'exact', kept for small inputs / cross-checks
         rare_pb = rare_bin_aggregates(raw_binned, cfg)

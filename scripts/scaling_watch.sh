@@ -5,7 +5,7 @@
 # session is the honest quiet-machine number.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-OUT="$REPO/.bench-cache/scaling_runs.jsonl"
+OUT="$REPO/.bench-cache/${SCALING_OUT:-scaling_runs_r2.jsonl}"
 mkdir -p "$REPO/.bench-cache"
 while true; do
   LOAD=$(cut -d' ' -f1 /proc/loadavg)

@@ -54,3 +54,42 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     back = read_table(spark, target)
     assert back.count() == 100
     assert set(back.columns) == set(df.columns)
+
+
+def test_rare_auto_mode_switches_plan(spark, events_parquet):
+    """'auto' rare mode (the default) must pick the per-source-sequential
+    exact kernel for small sources and the fully-parallel salted 'block'
+    path once ONE source crosses rare_auto_rows — without any caller flag.
+    'block' is identifiable by its applyInPandas re-merge stage
+    (FlatMapGroupsInPandas); 'exact' has none."""
+    import dataclasses
+
+    small_thr = dataclasses.replace(EngineConfig(), rare_mode="auto", rare_auto_rows=10)
+    big_thr = dataclasses.replace(EngineConfig(), rare_mode="auto", rare_auto_rows=10**9)
+
+    plan_block = _plan(feature_matrix(events_parquet, None, small_thr))
+    plan_exact = _plan(feature_matrix(events_parquet, None, big_thr))
+    assert "FlatMapGroupsInPandas" in plan_block, "auto did not escalate to block"
+    assert "FlatMapGroupsInPandas" not in plan_exact, "auto did not stay exact"
+
+
+def test_rare_auto_block_values_match_exact_below_shard(spark, events_parquet):
+    """Below one shard (rare_shard_paths) the block relaxation is
+    value-identical to exact — so the auto switch cannot silently change
+    results at the scale where both run in tests."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    exact = feature_matrix(
+        events_parquet, None, dataclasses.replace(EngineConfig(), rare_mode="exact")
+    )
+    auto_block = feature_matrix(
+        events_parquet,
+        None,
+        dataclasses.replace(EngineConfig(), rare_mode="auto", rare_auto_rows=10),
+    )
+    cols = ["source", "bin", "number_rare_ases", "rare_ases_max", "rare_ases_avg"]
+    a = exact.select(cols).orderBy("source", "bin").toPandas()
+    b = auto_block.select(cols).orderBy("source", "bin").toPandas()
+    assert a.equals(b)
