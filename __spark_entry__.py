@@ -342,6 +342,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Scale path for near-dup: LSH candidates over the shingle space,
+    exact 3-gram Jaccard verified ONLY on candidates (no all-pairs block
+    join)."""
+    d = _word_tokens_docs(spark, sf_dir)
+    out = DD.ngram_jaccard_lsh_pairs(
+        d, "doc_id", "tokens", n=3, threshold=0.2, n_hashes=32, bands=4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", EMB_ROUND).alias("jaccard"))
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints per document."""
     d = _word_tokens_docs(spark, sf_dir)
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
@@ -660,6 +672,54 @@ SELECT DISTINCT a._id AS id_a, b._id AS id_b
 FROM banded a JOIN banded b USING (band, bkey)
 WHERE a._id < b._id
 """
+
+
+def _ngram_lsh_sql() -> str:
+    """DuckDB twin of ngram_jaccard_lsh_pairs: same shingle keys (polynomial
+    fold), same minhash family, same banded candidates, same Jaccard —
+    any engine divergence anywhere in the composition hash-mismatches."""
+    n_hashes, bands, base = 32, 4, 1_000_003
+    rows = n_hashes // bands
+    params = DD._hash_params(n_hashes)
+    p = DD.MERSENNE
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(shk, x -> ({a} * (x % {p}) + {b}) % {p})) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {i} AS band, "
+        + " || ',' || ".join(f"h{i * rows + j}::VARCHAR" for j in range(rows))
+        + " AS bkey FROM sig"
+        for i in range(bands)
+    )
+
+    def key(lst: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform({lst}, x -> x % {p})), "
+            f"(acc, x) -> (acc * {base} + x) % {p})"
+        )
+
+    return f"""
+WITH t AS ({{_WORD_TOKS}}),
+shk AS (
+  SELECT doc_id AS _id,
+    list_distinct(CASE WHEN len(tokens) >= 3
+      THEN list_transform(range(1, len(tokens) - 1), i -> {key('tokens[i:i+2]')})
+      ELSE [{key('tokens')}] END) AS shk
+  FROM t WHERE len(tokens) > 0
+),
+sig AS (SELECT _id, {sig_exprs} FROM shk),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+         FROM banded a JOIN banded b USING (band, bkey) WHERE a._id < b._id),
+j AS (
+  SELECT id_a, id_b,
+    len(list_intersect(x.shk, y.shk))::DOUBLE
+      / (len(x.shk) + len(y.shk) - len(list_intersect(x.shk, y.shk))) AS jaccard
+  FROM cand JOIN shk x ON x._id = cand.id_a JOIN shk y ON y._id = cand.id_b
+)
+SELECT id_a, id_b, round(jaccard, {{EMB_ROUND}}) AS jaccard FROM j WHERE jaccard >= 0.2
+""".format(_WORD_TOKS=_WORD_TOKS, EMB_ROUND=EMB_ROUND)
 
 
 _WORD_TOKS = """
@@ -934,6 +994,7 @@ FROM sh a JOIN sh b USING (source, lang)
 WHERE a._id < b._id
   AND len(list_intersect(a.sh, b.sh)) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
 """
+    sqls["ngram_jaccard_lsh"] = _ngram_lsh_sql()
     a, b = DD._hash_params(1)[0]
     p = DD.MERSENNE
     bit_sum = " + ".join(

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_lsh",
     "ngram_jaccard",
+    "ngram_jaccard_lsh",
     "simhash",
     "text_stats",
     "cosine_topk",

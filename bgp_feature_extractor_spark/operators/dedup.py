@@ -72,23 +72,12 @@ def minhash_signature(tokens_col, n_hashes: int = 16, seed: int = 42):
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    tokens_col: str,
-    n_hashes: int = 16,
-    bands: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash LSH.
-
-    shingle->minhash->band->bucket-join: docs sharing any full band of the
-    signature become a candidate pair (id_a < id_b, distinct)."""
+def _banded_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(_id, sig: array<long>) -> distinct candidate pairs (id_a < id_b):
+    explode each signature into its bands, equi-join on (band, band key).
+    Band keys are hash-uniform so the join buckets evenly — no all-pairs
+    blowup, no skew hot spot."""
     rows_per_band = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.array_distinct(F.col(tokens_col)), n_hashes, seed).alias("sig"),
-    ).filter(F.size(F.col(tokens_col)) > 0)
     banded = sig.select(
         "_id",
         F.explode(
@@ -113,6 +102,25 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    shingle->minhash->band->bucket-join: docs sharing any full band of the
+    signature become a candidate pair (id_a < id_b, distinct)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.array_distinct(F.col(tokens_col)), n_hashes, seed).alias("sig"),
+    ).filter(F.size(F.col(tokens_col)) > 0)
+    return _banded_candidates(sig, n_hashes, bands)
 
 
 def ngram_shingles(tokens_col, n: int = 3):
@@ -155,6 +163,67 @@ def ngram_jaccard_pairs(
             F.col("b._id").alias("id_b"),
             (inter / union).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_shingle_keys(tokens_col, n: int = 3, base: int = 1_000_003):
+    """array<long> of polynomial n-gram shingle keys over an int token
+    column: key = fold(0, (acc, x) -> (acc*base + x%M) % M) over each
+    length-n window (whole array for short docs, mirroring ngram_shingles).
+    Integer-deterministic and expressible in DuckDB (list_reduce), so the
+    LSH->Jaccard composition keeps an exact oracle twin. acc < M = 2^31 and
+    base < 2^20 keep acc*base + x < 2^52 — no int64 overflow."""
+
+    def key(slice_col):
+        return F.aggregate(
+            F.transform(slice_col, lambda x: x.cast("long") % MERSENNE),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % MERSENNE,
+        )
+
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
+            lambda i: key(F.slice(tokens_col, i, n)),
+        ),
+    ).otherwise(F.array(key(tokens_col)))
+
+
+def ngram_jaccard_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+    n_hashes: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100TB near-dup shape: banded-LSH candidates over the SHINGLE
+    space, exact n-gram Jaccard computed ONLY on candidate pairs.
+
+    vs ngram_jaccard_pairs (all-pairs within blocking groups, quadratic in
+    the hottest block): here the expensive set intersection runs on
+    O(candidates) rows, and candidates come from a hash-uniform band
+    equi-join — every stage is linear-ish and skew-safe. Jaccard is over
+    the deterministic shingle-key sets, so the verified similarity is the
+    same quantity the MinHash signatures approximate."""
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(ngram_shingle_keys(F.col(tokens_col), n)).alias("shk"),
+    ).filter(F.size(F.col(tokens_col)) > 0)
+    sig = shingled.select("_id", minhash_signature(F.col("shk"), n_hashes, seed).alias("sig"))
+    cands = _banded_candidates(sig, n_hashes, bands)
+    sa = shingled.select(F.col("_id").alias("id_a"), F.col("shk").alias("sh_a"))
+    sb = shingled.select(F.col("_id").alias("id_b"), F.col("shk").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
