@@ -399,6 +399,36 @@ def q_ann_lsh(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
 
 
+def q_embedding_near_dup_mb(spark, sf_dir):
+    """Multi-band near-dup (2 independent plane sets): candidates union
+    over bands, exact cosine once per distinct pair — recall is a strict
+    superset of the single-band query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nd = SIM.embedding_near_dup(emb, threshold=0.3, n_planes=8, bands=2)
+    return nd.select("id_a", "id_b", F.round("cosine", EMB_ROUND).alias("cosine"))
+
+
+def q_ann_lsh_indexed(spark, sf_dir):
+    """ANN against the write-time-bucketed table: signature computed ONCE at
+    write, query bucket computed driver-side (no Spark job), scan pruned to
+    one partition via PartitionFilters. Same oracle as ann_lsh — the index
+    must not change the answer."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [r[0] for r in emb.filter(F.col("vec_id") == 2).select(F.explode("embedding")).collect()]
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ann_idx_")
+    try:
+        path = f"{tmp}/ann_index"
+        SIM.write_ann_index(emb, path, n_planes=8)
+        top = SIM.ann_lsh_topk_indexed(spark, path, q, k=10, n_planes=8, exclude_id=2)
+        out = top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
+        return spark.createDataFrame(out.toPandas(), out.schema)  # outlive the temp dir
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic OLAP agg surface (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -464,7 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_mb": q_embedding_near_dup_mb,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_indexed": q_ann_lsh_indexed,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -1028,9 +1060,12 @@ LIMIT 10
             f"(((({p}*1000003) + (i-1)) * 2654435761) % 1048576 / 1048576.0 * 2 - 1)))"
         )
 
-    _bucket = " + ".join(
-        f"CASE WHEN {_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(8)
-    )
+    def _bucket_off(off: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {_plane_dot(off + i)} > 0 THEN {1 << i} ELSE 0 END" for i in range(8)
+        )
+
+    _bucket = _bucket_off(0)
     _cos_ab = (
         "list_reduce(list_transform(list_zip(a._v, b._v), z -> z[1] * z[2]), (acc, x) -> acc + x)"
         " / (sqrt(list_reduce(list_transform(a._v, x -> x * x), (acc, x) -> acc + x))"
@@ -1040,6 +1075,19 @@ LIMIT 10
 WITH bk AS (SELECT vec_id, embedding::DOUBLE[] AS _v, ({_bucket})::BIGINT AS bucket FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_cos_ab}, {EMB_ROUND}) AS cosine
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_ab} >= 0.3
+"""
+    sqls["embedding_near_dup_mb"] = f"""
+WITH bk AS (SELECT vec_id, embedding::DOUBLE[] AS _v,
+            ({_bucket_off(0)})::BIGINT AS b0, ({_bucket_off(8)})::BIGINT AS b1
+            FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id FROM bk a JOIN bk b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({_cos_ab}, {EMB_ROUND}) AS cosine
+FROM cand JOIN bk a ON a.vec_id = cand.id_a JOIN bk b ON b.vec_id = cand.id_b
 WHERE {_cos_ab} >= 0.3
 """
     _cos_q = (
@@ -1056,6 +1104,8 @@ WHERE a.vec_id <> 2 AND a.bucket = q.qb
 ORDER BY {_cos_q} DESC, a.vec_id
 LIMIT 10
 """
+    # the write-time-bucketed index must return exactly the recompute answer
+    sqls["ann_lsh_indexed"] = sqls["ann_lsh"]
     sqls["tpch_q1"] = f"""
 SELECT l_returnflag, l_linestatus,
   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,

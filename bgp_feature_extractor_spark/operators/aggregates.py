@@ -1,14 +1,20 @@
 """Per-bin feature aggregation — ONE groupBy(source, bin) for the whole
 matrix (SURVEY.md §2.6 A1-A8; reference accumulators bgpmetrics_as.py:199-253).
 
-Everything is a built-in aggregate expression (partial + final hash agg,
-map-side combine for free). The two order-dependent quirks stay JVM-side:
+Everything in the MAIN pass is a plain declarative aggregate expression
+(partial + final whole-stage-codegen HashAggregate, map-side combine for
+free). The order-dependent quirks and the exact distinct live in a separate
+slim pass over the raw branch (``fold_bin_aggregates``) because each of them
+individually de-optimizes a combined aggregation (ObjectHashAggregate /
+SortAggregate / distinct-rewrite — measured 16.9s vs 1.2s at 8M rows):
 
   * A5 ``as_path_avg`` — Py2 floor-division recurrence over arrival order
     (bgpmetrics_as.py:635-636, quirk Q1):
         v_n = (len_n * n + v_{n-1}) // n  ==  len_n + v_{n-1} // n
-    computed as F.aggregate over an array_sort'ed collect_list — a fold over
-    (ts, seq)-ordered per-bin path lengths, no Python, no extra shuffle.
+    computed as F.aggregate over an array_sort'ed collect_list for SMALL
+    bins only; large bins provably collapse to the last path length (see
+    fold_bin_aggregates), so the aggregation buffer is bounded by the token
+    length, never the bin's row count.
   * A6 ``unique_as_path_avg`` (bgpmetrics_as.py:637, quirk Q2) references the
     *running max*, which telescopes to a closed form over builtins:
         u_n = ulen_n + (ulen_n*n + max)//n - ulen_n = ulen_n + max_bin // n
@@ -99,9 +105,38 @@ def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
     unique_as_path_avg = F.coalesce(
         last_uniq + F.floor(uniq_max / n_paths).cast("long"), F.lit(0)
     )
-    folds = slim.groupBy("source", "bin").agg(
-        _as_path_avg_expr(F.col("n_tok")).alias("as_path_avg"),
+    # Bounded-memory A5: the Q1 recurrence v_k = L_k + floor(v_{k-1} / k)
+    # provably collapses for large bins. Every v_k <= 2*maxL (induction:
+    # v_k <= maxL + v_{k-1}/k), so for k > 2*maxL the floor term is 0 and
+    # v_k = L_k from then on — the final value of a bin with
+    # n_ann > 2*max_len + 1 announcements is EXACTLY the last path's length.
+    # Only bins below that cutoff (O(max_len) ~ hundreds of rows) ever run
+    # the collect_list fold, so the aggregation buffer is bounded by the
+    # token length, not the bin's row count — a 10^7-announcement hot bin
+    # costs one max_by, not one array (VERDICT r1 finding 2).
+    stats = slim.groupBy("source", "bin").agg(
+        n_paths.alias("_n_ann"),
+        F.coalesce(F.max(F.when(is_ann, F.col("n_tok"))), F.lit(0)).alias("_max_len"),
+        F.max_by(F.when(is_ann, F.col("n_tok")), F.when(is_ann, F.struct("ts", "seq"))).alias(
+            "_last_len"
+        ),
         unique_as_path_avg.alias("unique_as_path_avg"),
+    )
+    small_keys = stats.filter(F.col("_n_ann") <= 2 * F.col("_max_len") + 1).select(
+        "source", "bin"
+    )
+    folded_small = (
+        slim.join(small_keys, ["source", "bin"], "left_semi")
+        .groupBy("source", "bin")
+        .agg(_as_path_avg_expr(F.col("n_tok")).alias("_fold_v"))
+    )
+    folds = (
+        stats.join(folded_small, ["source", "bin"], "left")
+        .withColumn(
+            "as_path_avg",
+            F.coalesce(F.col("_fold_v"), F.col("_last_len"), F.lit(0)).cast("long"),
+        )
+        .select("source", "bin", "as_path_avg", "unique_as_path_avg")
     )
     distincts = slim.groupBy("source", "bin").agg(
         F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann")

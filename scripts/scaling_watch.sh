@@ -8,6 +8,9 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="$REPO/.bench-cache/${SCALING_OUT:-scaling_runs_r2.jsonl}"
 mkdir -p "$REPO/.bench-cache"
 while true; do
+  # coordination: foreground dev work touches $REPO/.bench-cache/PAUSE so a
+  # timed run never overlaps interactive Spark (and vice versa)
+  if [ -f "$REPO/.bench-cache/PAUSE" ]; then sleep 60; continue; fi
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$LOAD') < 1.5 else 1)"; then
     # 8M uniform: throughput scaling with fixed costs amortized;

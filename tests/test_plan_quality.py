@@ -93,3 +93,103 @@ def test_rare_auto_block_values_match_exact_below_shard(spark, events_parquet):
     a = exact.select(cols).orderBy("source", "bin").toPandas()
     b = auto_block.select(cols).orderBy("source", "bin").toPandas()
     assert a.equals(b)
+
+
+def test_partitioned_events_prune(spark, tmp_path):
+    """S1: a (source, day)-partitioned layout + a day/source predicate must
+    prune at the listing level — PartitionFilters non-empty and the pruned
+    scan reads fewer files than the full table."""
+    from bgp_feature_extractor_spark.sources.partitioned import (
+        read_events_pruned,
+        write_partitioned_events,
+    )
+
+    ev = synth_events(spark, 5_000, n_sources=4)
+    path = str(tmp_path / "events_part")
+    write_partitioned_events(ev, path)
+
+    pruned = read_events_pruned(spark, path, sources=["src0"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "source" in pf and pf.strip() != "", f"empty PartitionFilters: {pf!r}"
+    # the predicate must NOT appear as a post-scan data filter on source
+    n_all = spark.read.parquet(path).count()
+    n_pruned = pruned.count()
+    assert 0 < n_pruned < n_all
+
+    # day-range predicate prunes too
+    some_day = spark.read.parquet(path).select("day").distinct().orderBy("day").first()[0]
+    by_day = read_events_pruned(spark, path, start_day=some_day, end_day=some_day)
+    plan2 = by_day._jdf.queryExecution().executedPlan().toString()
+    pf2 = plan2.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in pf2
+
+
+def test_ann_indexed_prunes_to_one_bucket(spark, tmp_path):
+    """Write-time-bucketed ANN table: the query-bucket predicate lands in
+    PartitionFilters (file-listing prune), the driver-side bucket mirror is
+    bit-identical to the JVM expression, and the indexed top-k equals the
+    per-query-recompute top-k."""
+    from pyspark.sql import functions as F
+
+    from bgp_feature_extractor_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_indexed,
+        hyperplane_bucket_py,
+        hyperplane_signature,
+        write_ann_index,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path, n_planes=6)
+
+    # python mirror == JVM signature for every row
+    jvm = emb.select(
+        "vec_id",
+        hyperplane_signature(F.col("embedding").cast("array<double>"), 6).alias("b"),
+    ).collect()
+    byid = dict(vecs)
+    for r in jvm:
+        assert r["b"] == hyperplane_bucket_py(byid[r["vec_id"]], 6), r["vec_id"]
+
+    q = byid[5]
+    idx = ann_lsh_topk_indexed(spark, path, q, k=5, n_planes=6, exclude_id=5)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in pf
+
+    recompute = ann_lsh_topk(emb.filter(F.col("vec_id") != 5), q, k=5, n_planes=6)
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in idx.collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9)) for r in recompute.collect()]
+    assert a == b
+
+
+def test_embedding_near_dup_multiband_superset(spark):
+    """Multi-band near-dup: bands=2 candidates are a superset of band-0's
+    surviving pairs (recall can only go up), and bands=1 is byte-identical
+    to the original single-band operator."""
+    import numpy as np
+
+    from bgp_feature_extractor_spark.operators.similarity import embedding_near_dup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 12)
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in base[i] + 0.01 * rng.randn(12)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    one = embedding_near_dup(emb, threshold=0.8, n_planes=6, bands=1)
+    two = embedding_near_dup(emb, threshold=0.8, n_planes=6, bands=2)
+    p1 = {(r["id_a"], r["id_b"]) for r in one.collect()}
+    p2 = {(r["id_a"], r["id_b"]) for r in two.collect()}
+    assert p1 <= p2
+    assert len(p2) >= len(p1)
