@@ -1005,6 +1005,16 @@ SELECT cls, count(*) AS n,
 FROM fin GROUP BY cls
 """
     sqls["feature_matrix"] = _feature_matrix_sql()
+    # full 52-column layout: at the driver's sf0.01 every source has <1000
+    # announcements, so the reference's rare warm-up gate (F7, quirk Q5 —
+    # stats gated until rare_block paths seen, bgpmetrics_as.py:607-614)
+    # pins all three rare columns to zero. The oracle asserts exactly that
+    # gate; the nonzero rare regime is covered by tests/test_rare_kernel.py.
+    sqls["feature_matrix_full"] = f"""
+SELECT m.*, 0::BIGINT AS number_rare_ases, 0::BIGINT AS rare_ases_max,
+       0.0 AS rare_ases_avg
+FROM ({_feature_matrix_sql()}) m
+"""
     sqls["dedup_exact"] = """
 SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY 1
