@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """Per-stage wall-clock profile of the feature-matrix pipeline.
 
-Usage: python scripts/profile_stages.py <cpus> [rows]
-Each stage is warmed once, then timed with the noop sink.
+Usage: python scripts/profile_stages.py [cpus] [rows] [hot_pct]
+
+Each cumulative prefix of the pipeline is warmed once then timed twice with
+the noop sink (min reported); the per-stage DELTA between consecutive
+prefixes attributes wall-clock to the stage. Emits ONE JSON line and appends
+it to .bench-cache/stage_profiles.jsonl with the loadavg seen, so quiet-
+window runs are distinguishable from polluted ones.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -22,7 +28,7 @@ from bgp_feature_extractor_spark.operators.binning import (
     with_bin,
 )
 from bgp_feature_extractor_spark.operators.rare import join_rare, rare_bin_aggregates_stream
-from bgp_feature_extractor_spark.plans.feature_matrix import classify
+from bgp_feature_extractor_spark.plans.feature_matrix import classify, feature_matrix
 from bgp_feature_extractor_spark.session import get_spark
 from bgp_feature_extractor_spark.sources.synth import synth_events
 
@@ -32,24 +38,35 @@ def force(df):
 
 
 def main():
-    cpus = sys.argv[1] if len(sys.argv) > 1 else "8"
-    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * int(cpus))
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    hot = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench-cache")
     os.makedirs(cache, exist_ok=True)
-    path = f"{cache}/bench_events_{rows}.parquet"
+    suffix = "" if hot == 40 else f"_hot{hot}"
+    path = f"{cache}/bench_events_{rows}{suffix}.parquet"
     if not os.path.isdir(path):
-        synth_events(spark, rows).write.mode("overwrite").parquet(path)
+        synth_events(spark, rows, hot_pct=hot).write.mode("overwrite").parquet(path)
     ev = spark.read.parquet(path)
     cfg = EngineConfig()
 
+    stages: dict[str, float] = {}
+    loads: list[float] = []
+
     def timed(name, df):
         force(df)
-        t0 = time.perf_counter()
-        force(df)
-        print(f"{name}: {time.perf_counter() - t0:.2f}s", flush=True)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(df)
+            ts.append(time.perf_counter() - t0)
+        stages[name] = round(min(ts), 2)
+        loads.append(float(open("/proc/loadavg").read().split()[0]))
+        print(f"cpus={cpus} {name}: {stages[name]}s load={loads[-1]}", file=sys.stderr, flush=True)
 
     firsts = first_ts_per_source(ev).cache()
+    timed("scan_only", ev)
     cl = classify(ev, None, cfg)
     timed("classify", cl)
     binned = with_bin(cl, firsts, cfg)
@@ -57,9 +74,25 @@ def main():
     timed("classify+bin+editdist", dist)
     raw_binned = with_bin(ev, firsts, cfg)
     timed("rare_stream(alone)", rare_bin_aggregates_stream(raw_binned, cfg))
-    per_bin = join_rare(aggregate_bins(dist, cfg), rare_bin_aggregates_stream(raw_binned, cfg))
-    timed("+agg+rare", per_bin)
-    timed("+spine(full)", dense_spine(per_bin, firsts, cfg))
+    agg = aggregate_bins(dist, cfg, slim=raw_binned)
+    timed("classify..+split_agg", agg)
+    per_bin = join_rare(agg, rare_bin_aggregates_stream(raw_binned, cfg))
+    timed("+rare_join", per_bin)
+    timed("+spine(full_decomposed)", dense_spine(per_bin, firsts, cfg))
+    timed("feature_matrix(whole)", feature_matrix(ev, None, cfg))
+
+    rec = {
+        "cpus": cpus,
+        "rows": rows,
+        "hot_pct": hot,
+        "stages": stages,
+        "loads": [round(x, 2) for x in loads],
+        "max_load": round(max(loads), 2),
+    }
+    line = json.dumps(rec)
+    print(line)
+    with open(f"{cache}/stage_profiles.jsonl", "a") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

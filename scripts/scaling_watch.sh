@@ -19,6 +19,10 @@ while true; do
       R=$(cd "$REPO" && timeout 1800 python scripts/scaling_bench.py $ARGS 2>/dev/null | tail -1)
       [ -n "$R" ] && echo "$R" >> "$OUT"
     done
+    # quiet-window per-stage attribution at both core counts (appends to
+    # .bench-cache/stage_profiles.jsonl itself)
+    (cd "$REPO" && timeout 900 python scripts/profile_stages.py 16 8000000 5 >/dev/null 2>&1)
+    (cd "$REPO" && timeout 900 python scripts/profile_stages.py 4 8000000 5 >/dev/null 2>&1)
   fi
   sleep 240
 done
