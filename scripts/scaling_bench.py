@@ -43,7 +43,8 @@ if not os.path.isdir(path):
     synth_events(spark, rows, hot_pct=hot).write.mode("overwrite").parquet(path)
 ev = spark.read.parquet(path)
 def force(df): df.write.format("noop").mode("overwrite").save()
-cfg = EngineConfig()
+rare_mode = os.environ.get("SPARK_GRAFT_RARE_MODE")
+cfg = EngineConfig(rare_mode=rare_mode) if rare_mode else EngineConfig()
 force(feature_matrix(ev, None, cfg))  # warm
 print("READY", flush=True)
 for line in sys.stdin:
@@ -127,6 +128,7 @@ def main():
     ceiling = _burn_ceiling(N)
     print(json.dumps({
         "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "hot_pct": HOT_PCT,
+        "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
         f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],

@@ -19,6 +19,10 @@ while true; do
       R=$(cd "$REPO" && timeout 1800 python scripts/scaling_bench.py $ARGS 2>/dev/null | tail -1)
       [ -n "$R" ] && echo "$R" >> "$OUT"
     done
+    # hot-skew stress with the parallel 'block' relaxation (engine scaling
+    # when the reference's sequential Q5 recurrence is relaxed)
+    R=$(cd "$REPO" && SPARK_GRAFT_RARE_MODE=block timeout 1800 python scripts/scaling_bench.py 2000000 4 3 40 2>/dev/null | tail -1)
+    [ -n "$R" ] && echo "$R" >> "$OUT"
     # quiet-window per-stage attribution at both core counts (appends to
     # .bench-cache/stage_profiles.jsonl itself)
     (cd "$REPO" && timeout 900 python scripts/profile_stages.py 16 8000000 5 >/dev/null 2>&1)
