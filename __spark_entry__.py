@@ -249,6 +249,17 @@ def q_label_ratios(spark, sf_dir):
     )
 
 
+def q_multi_width(spark, sf_dir):
+    """The reference's full run matrix — one feature matrix per timebin
+    width {1,5,10,15,60,120} min (label_csv.py:302), unioned with a
+    minutes_window column so ONE action executes all widths as overlapping
+    DAG branches."""
+    from bgp_feature_extractor_spark.plans.feature_matrix import multi_width_matrices
+
+    m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG)
+    return m.drop(*RARE_COLS, "timestamp")
+
+
 def q_csv_round_trip(spark, sf_dir):
     """S7 -> S6 -> EP2: the matrix is written to a reference-layout CSV
     (header, per-source directories), read back with the explicit schema +
@@ -484,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix_full": q_feature_matrix_full,
         "label_ratios": q_label_ratios,
         "csv_round_trip": q_csv_round_trip,
+        "multi_width": q_multi_width,
         "pad_counts": q_pad_counts,
         "before_during_after": q_before_during_after,
         "dedup_exact": q_dedup_exact,
@@ -594,8 +606,9 @@ def _tok_str(col: str) -> str:
     return f"list_aggregate(list_transform({col}, t -> chr((t + 1)::INT)), 'string_agg', '')"
 
 
-def _feature_matrix_sql(include_unchecked: bool = False) -> str:
+def _feature_matrix_sql(include_unchecked: bool = False, bin_size: int | None = None) -> str:
     cfg = CFG
+    bin_size = bin_size or cfg.bin_size
     ed = f"CASE WHEN prev_tokens IS NOT NULL THEN editdist3({_tok_str('tokens')}, {_tok_str('prev_tokens')}) END"
     dict_cols = ",\n    ".join(
         f"count(*) FILTER (edit_dist = {k}) AS edit_distance_dict_{k}" for k in range(cfg.pivot_limit)
@@ -625,7 +638,7 @@ def _feature_matrix_sql(include_unchecked: bool = False) -> str:
 WITH classified AS ({_DOC_CLS}),
 firsts AS (SELECT source, min(ts) AS first_ts FROM classified GROUP BY source),
 binned AS (
-  SELECT c.*, ((c.ts - f.first_ts) // {cfg.bin_size}) AS bin,
+  SELECT c.*, ((c.ts - f.first_ts) // {bin_size}) AS bin,
          {ed} AS edit_dist
   FROM classified c JOIN firsts f USING (source)
 ),
@@ -668,7 +681,7 @@ SELECT s.source, s.bin,
   coalesce(a.edit_distance_avg, 0.0) AS edit_distance_avg,
   {uniq_copy},
   0::BIGINT AS class,
-  (f.first_ts + s.bin * {cfg.bin_size}) AS timestamp2
+  (f.first_ts + s.bin * {bin_size}) AS timestamp2
 FROM spine s
 LEFT JOIN agg a USING (source, bin)
 JOIN firsts f USING (source)
@@ -1005,6 +1018,12 @@ SELECT cls, count(*) AS n,
 FROM fin GROUP BY cls
 """
     sqls["feature_matrix"] = _feature_matrix_sql()
+    from bgp_feature_extractor_spark.plans.feature_matrix import REFERENCE_TIMESCALES
+
+    sqls["multi_width"] = "\nUNION ALL\n".join(
+        f"SELECT {w} AS minutes_window, m.* FROM ({_feature_matrix_sql(bin_size=60 * w)}) m"
+        for w in REFERENCE_TIMESCALES
+    )
     # full 52-column layout: at the driver's sf0.01 every source has <1000
     # announcements, so the reference's rare warm-up gate (F7, quirk Q5 —
     # stats gated until rare_block paths seen, bgpmetrics_as.py:607-614)

@@ -103,6 +103,34 @@ def feature_matrix(
     return dense.select("source", "bin", *golden_columns(cfg))
 
 
+REFERENCE_TIMESCALES = (1, 5, 10, 15, 60, 120)
+
+
+def multi_width_matrices(
+    events: DataFrame,
+    snapshot: DataFrame | None = None,
+    cfg: EngineConfig | None = None,
+    widths: tuple[int, ...] = REFERENCE_TIMESCALES,
+) -> DataFrame:
+    """The reference's full run matrix: one feature matrix per timebin width
+    (label_csv.py:302 ``timescales = ['1','5','10','15','60','120']`` — the
+    reference launches one OS process per width,
+    scripts/slammer-features.sh). Here the widths are one unioned DataFrame
+    with a ``minutes_window`` column, so ONE Spark action executes all six
+    extractions as independent DAG branches sharing the event scan — no
+    driver-side loop over actions, and a cluster overlaps the widths'
+    stages instead of running six sequential jobs."""
+    import dataclasses
+
+    cfg = cfg or EngineConfig()
+    out = None
+    for w in widths:
+        m = feature_matrix(events, snapshot, dataclasses.replace(cfg, minutes_window=w))
+        m = m.select(F.lit(int(w)).alias("minutes_window"), "*")
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
 def to_reference_csv(matrix: DataFrame, path: str, cfg: EngineConfig | None = None) -> None:
     """Reference CSV sink parity (feature-extractor.py:70-72): zero-filled,
     header, one directory per source via partitionBy."""
