@@ -281,7 +281,17 @@ def rare_bin_aggregates_stream(
     slim = classified_binned.filter(
         (F.col("kind") == "ann") & F.col("tokens").isNotNull()
     ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
-    part = slim.repartition("source").sortWithinPartitions("source", "ts", "seq")
+    # repartitionByRange, NOT hash repartition: with n_sources ~ the shuffle
+    # partition count, hash placement collides (birthday bound — 20 sources
+    # into 32 buckets collide with p>0.99), and a 2-source task is a 2x
+    # straggler wave in this per-source-sequential stage. Range partitioning
+    # samples the key distribution and gives each source its own partition
+    # whenever partitions >= sources.
+    # (single key column: equal keys always land in one partition, so each
+    # source stays whole — ranging by (source, ts) would split sources)
+    part = slim.repartitionByRange("source").sortWithinPartitions(
+        "source", "ts", "seq"
+    )
 
     out_schema = pa.schema(
         [

@@ -27,6 +27,11 @@ ROUNDS = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 # reference's inherently sequential rare-threshold recurrence, quirk Q5);
 # 5 = uniform across 20 sources (measures the engine's own scaling)
 HOT_PCT = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+# source count: 20 = reference-like few-collectors regime (wave-quantization
+# bound: ceil(20/16)=2 waves at 16 cores vs 5 packed waves at 4 — a 0.625
+# efficiency ceiling INHERENT to the per-source-sequential Q5 recurrence,
+# not the engine); 128+ = the 100TB-regime breadth where every stage packs.
+N_SOURCES = int(sys.argv[5]) if len(sys.argv) > 5 else 20
 
 CHILD = r'''
 import sys, time, os
@@ -36,11 +41,14 @@ from bgp_feature_extractor_spark.plans.feature_matrix import feature_matrix
 from bgp_feature_extractor_spark.sources.synth import synth_events
 from bgp_feature_extractor_spark.config import EngineConfig
 cpus = int(sys.argv[1]); rows = int(sys.argv[2]); hot = int(sys.argv[3])
+n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 20
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2*cpus)
 suffix = "" if hot == 40 else f"_hot{hot}"
+if n_sources != 20:
+    suffix += f"_s{n_sources}"
 path = f"%(repo)s/.bench-cache/bench_events_{rows}{suffix}.parquet"
 if not os.path.isdir(path):
-    synth_events(spark, rows, hot_pct=hot).write.mode("overwrite").parquet(path)
+    synth_events(spark, rows, hot_pct=hot, n_sources=n_sources).write.mode("overwrite").parquet(path)
 ev = spark.read.parquet(path)
 def force(df): df.write.format("noop").mode("overwrite").save()
 rare_mode = os.environ.get("SPARK_GRAFT_RARE_MODE")
@@ -58,7 +66,7 @@ for line in sys.stdin:
 def spawn(cpus: int) -> subprocess.Popen:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return subprocess.Popen(
-        [sys.executable, "-c", CHILD % {"repo": repo}, str(cpus), str(ROWS), str(HOT_PCT)],
+        [sys.executable, "-c", CHILD % {"repo": repo}, str(cpus), str(ROWS), str(HOT_PCT), str(N_SOURCES)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         text=True,
     )
@@ -128,6 +136,7 @@ def main():
     ceiling = _burn_ceiling(N)
     print(json.dumps({
         "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "hot_pct": HOT_PCT,
+        "n_sources": N_SOURCES,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],

@@ -13,9 +13,13 @@ while true; do
   if [ -f "$REPO/.bench-cache/PAUSE" ]; then sleep 60; continue; fi
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$LOAD') < 1.5 else 1)"; then
-    # 8M uniform: throughput scaling with fixed costs amortized;
-    # 2M 40%-hot: the skew stress case
-    for ARGS in "8000000 4 3 5" "2000000 4 3 40"; do
+    # headline: 8M uniform over 128 sources (the 100TB-regime breadth —
+    # every stage, incl. the per-source-sequential rare kernel, packs its
+    # waves; no quantization artifact from the tiny source count);
+    # then 8M uniform / 20 sources (reference-like few-collectors regime:
+    # inherent ceil(20/c) wave ceiling documents the Q5 Amdahl bound);
+    # then 2M 40%-hot: the skew stress case
+    for ARGS in "8000000 4 3 5 128" "8000000 4 3 5 20" "2000000 4 3 40 20"; do
       R=$(cd "$REPO" && timeout 1800 python scripts/scaling_bench.py $ARGS 2>/dev/null | tail -1)
       [ -n "$R" ] && echo "$R" >> "$OUT"
     done
