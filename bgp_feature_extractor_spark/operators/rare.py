@@ -255,7 +255,9 @@ def rare_bin_aggregates(
 
 
 def rare_bin_aggregates_stream(
-    classified_binned: DataFrame, cfg: EngineConfig | None = None
+    classified_binned: DataFrame,
+    cfg: EngineConfig | None = None,
+    sizes: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Arrow-streaming rare aggregates — default 'exact' physical plan.
 
@@ -281,17 +283,23 @@ def rare_bin_aggregates_stream(
     slim = classified_binned.filter(
         (F.col("kind") == "ann") & F.col("tokens").isNotNull()
     ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
-    # repartitionByRange, NOT hash repartition: with n_sources ~ the shuffle
-    # partition count, hash placement collides (birthday bound — 20 sources
-    # into 32 buckets collide with p>0.99), and a 2-source task is a 2x
-    # straggler wave in this per-source-sequential stage. Range partitioning
-    # samples the key distribution and gives each source its own partition
-    # whenever partitions >= sources.
-    # (single key column: equal keys always land in one partition, so each
-    # source stays whole — ranging by (source, ts) would split sources)
-    part = slim.repartitionByRange("source").sortWithinPartitions(
-        "source", "ts", "seq"
-    )
+    # NOT a plain hash repartition: with n_sources ~ the shuffle partition
+    # count, hash placement collides (birthday bound — 20 sources into 32
+    # buckets collide with p>0.99), and a 2-source task is a 2x straggler
+    # wave in this per-source-sequential stage. With per-source sizes
+    # available (the pipeline's tiny stats aggregate), pack sources onto
+    # partitions with LPT via operators/packing.py (collision-free,
+    # skew-balanced, no sampling pass); otherwise fall back to
+    # repartitionByRange on the single source key (equal keys always land
+    # in one partition, so each source stays whole — ranging by
+    # (source, ts) would split sources).
+    if sizes:
+        from bgp_feature_extractor_spark.operators.packing import repartition_packed
+
+        part = repartition_packed(slim, "source", sizes)
+    else:
+        part = slim.repartitionByRange("source")
+    part = part.sortWithinPartitions("source", "ts", "seq")
 
     out_schema = pa.schema(
         [

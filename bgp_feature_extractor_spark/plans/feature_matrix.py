@@ -72,18 +72,26 @@ def feature_matrix(
     # (measured 16.9s -> ~5s at 8M rows; see operators/aggregates.py)
     per_bin = aggregate_bins(dist, cfg, slim=raw_binned)
     rare_mode = cfg.rare_mode
-    if rare_mode == "auto":
+    sizes: list[tuple[str, int]] = []
+    if rare_mode in ("auto", "exact"):
         # AQE-style driver decision from the cached per-source stats row set
-        # (one row per source — NOT a data collect): the exact kernel is
-        # per-source sequential, so a single source above the threshold
-        # would straggle the stage / blow one task's memory at scale.
-        hottest = firsts.agg(F.max("n_rows")).first()[0] or 0
+        # (one row per source — plan metadata, NOT a data collect): the
+        # exact kernel is per-source sequential, so a single source above
+        # the threshold would straggle the stage / blow one task's memory
+        # at scale — and the same rows feed the LPT packing plan below.
+        sizes = [
+            (r["source"], int(r["n_rows"]))
+            for r in firsts.select("source", "n_rows").collect()
+        ]
+    if rare_mode == "auto":
+        hottest = max((n for _, n in sizes), default=0)
         rare_mode = "exact" if hottest <= cfg.rare_auto_rows else "block"
     if rare_mode == "exact":
         # Arrow-streaming per-source kernel: one shuffle + zero-copy flat
         # token access; the hot source costs ~the raw numpy kernel and its
-        # stage overlaps the independent classify/agg branch
-        rare_pb = rare_bin_aggregates_stream(raw_binned, cfg)
+        # stage overlaps the independent classify/agg branch. Sources are
+        # LPT-packed onto partitions from the stats rows (operators/packing)
+        rare_pb = rare_bin_aggregates_stream(raw_binned, cfg, sizes=sizes)
     elif rare_mode == "dist":
         # fully-JVM-distributed twin (windows + relational thresholds) —
         # for inputs where ONE source's token stream exceeds worker memory
