@@ -787,6 +787,16 @@ def rare_bin_aggregates_dist(
     """Distributed twin of :func:`rare_bin_aggregates` — same numbers, no
     hot-source straggler.
 
+    Measured reality (8M rows / 20 sources / local[16]): the exploded
+    element stream (~50M rows through two windows + three shuffles) costs
+    more wall-clock than the Arrow-stream kernel it replaces (rare stage
+    40s vs 23s; whole pipeline 80s vs 29s), so this is NOT the default
+    scale path — 'exact' (+ LPT packing) covers sources that fit a task,
+    'block' covers hot sources. Use 'dist' only when a single source's
+    unique-token stream exceeds one worker's memory AND the frozen-shard
+    relaxation of 'block' is unacceptable: it is the one mode that keeps
+    exact semantics with bounded per-task state.
+
     The reference's sequential recurrence (Q5, bgpmetrics_as.py:601-628)
     decomposes into relational pieces that Spark parallelizes:
 
