@@ -49,12 +49,8 @@ def _word_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with an int token per word: first 60 bits of md5(word)
     (deterministic + SQL-mirrorable; rich enough that distinct words don't
     collide, which keeps LSH candidate sets honest)."""
-    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    toks = F.transform(
-        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
-    )
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", toks.alias("tokens")
+        "doc_id", "lang", "source", TX.word_hash_tokens(F.col("text")).alias("tokens")
     )
 
 
@@ -440,6 +436,19 @@ def q_ann_lsh_indexed(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end corpus funnel: quality gate -> exact dedup -> LSH
+    near-dup removal -> per-doc stats (plans/corpus_prep.py). The whole
+    composition — including the greedy drop-larger-id near-dup policy —
+    has an exact DuckDB twin."""
+    from bgp_feature_extractor_spark.plans.corpus_prep import corpus_prep
+
+    return corpus_prep(
+        _t(spark, sf_dir, "documents"), min_quality=0.3, min_words=5,
+        n_hashes=32, bands=4, quality_round=EMB_ROUND,
+    )
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic OLAP agg surface (TPC-H Q1 shape)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -509,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_mb": q_embedding_near_dup_mb,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
+        "corpus_prep": q_corpus_prep,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -772,6 +782,50 @@ SELECT doc_id, lang, source,
        list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS tokens
 FROM documents
+"""
+
+
+def _corpus_prep_sql() -> str:
+    """DuckDB twin of plans/corpus_prep.corpus_prep: same rounded quality
+    gate, same md5 exact-dedup keep-min-id, same 32x4 banded MinHash over
+    md5-word tokens of the survivors, same greedy drop-larger-id policy."""
+    n_hashes, bands = 32, 4
+    rows = n_hashes // bands
+    params = DD._hash_params(n_hashes)
+    p = DD.MERSENNE
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(toks, x -> ({a} * (x % {p}) + {b}) % {p})) AS h{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT _id, {i} AS band, "
+        + " || ',' || ".join(f"h{i * rows + j}::VARCHAR" for j in range(rows))
+        + " AS bkey FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+WITH ts AS ({_text_stats_sql()}),
+g AS (
+  SELECT d.doc_id, d.source, d.lang, d.text, ts.n_words, ts.quality
+  FROM documents d JOIN ts USING (doc_id)
+  WHERE ts.quality >= 0.3 AND ts.n_words >= 5
+),
+keep AS (SELECT md5(text) AS ck, min(doc_id) AS doc_id FROM g GROUP BY 1),
+u AS (SELECT g.* FROM g JOIN keep ON md5(g.text) = keep.ck AND g.doc_id = keep.doc_id),
+toks AS (
+  SELECT doc_id AS _id,
+         list_distinct(list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+             w -> ('0x' || substr(md5(w), 1, 15))::BIGINT)) AS toks
+  FROM u
+  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+),
+sig AS (SELECT _id, {sig_exprs} FROM toks),
+banded AS ({band_rows}),
+pairs AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+          FROM banded a JOIN banded b USING (band, bkey) WHERE a._id < b._id),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+SELECT u.doc_id, u.source, u.lang, u.n_words, u.quality
+FROM u ANTI JOIN drops USING (doc_id)
 """
 
 
@@ -1068,6 +1122,7 @@ h AS (SELECT doc_id, list_transform(tokens, x -> ({a} * (x % {p}) + {b}) % {p}) 
 SELECT doc_id, (CASE WHEN len(h) = 0 THEN 0 ELSE {bit_sum} END)::BIGINT AS simhash FROM h
 """
     sqls["text_stats"] = _text_stats_sql()
+    sqls["corpus_prep"] = _corpus_prep_sql()
     sqls["cosine_topk"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

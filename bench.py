@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_lsh",
     "simhash",
     "text_stats",
+    "corpus_prep",
     "cosine_topk",
     "embedding_near_dup",
     "ann_lsh",

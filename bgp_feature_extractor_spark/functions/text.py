@@ -94,3 +94,15 @@ def fingerprint(text_col):
                         + F.coalesce(F.ascii(F.substring(x, 1, 1)), F.lit(0)).cast("long"))
         % F.lit(FP_MOD),
     )
+
+
+def word_hash_tokens(text_col):
+    """array<long> of per-word hash tokens: first 60 bits of md5(word).
+
+    Deterministic, SQL-mirrorable (DuckDB: ('0x' || substr(md5(w),1,15))
+    ::BIGINT), and wide enough that distinct words don't collide — the
+    shared tokenization for the dedup / similarity operators."""
+    w = F.filter(F.split(text_col, " "), lambda x: x != "")
+    return F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+    )

@@ -22,9 +22,17 @@ def synth_events(
     wd_pct: int = 15,
     seed: int = 42,
     hot_pct: int = 40,
+    ts_scale: int = 1,
 ) -> DataFrame:
     """hot_pct: share of rows carried by the single hot source (skew knob;
-    40 = extreme hot-AS stress, 100//n_sources = uniform)."""
+    40 = extreme hot-AS stress, 100//n_sources = uniform).
+
+    ts_scale: events per second across the whole stream (ts = rid //
+    ts_scale). The default 1 spreads one event per second — at 60s bins
+    that is ~2 events per (source, bin), a degenerate rollup where output
+    row count ~= bins x sources. Real BGP collectors see hundreds-to-
+    thousands of updates per minute bin (the reference's slammer CSVs),
+    so scale benchmarks use ts_scale >> 1 for honest aggregation density."""
     df = spark.range(n_rows).withColumnRenamed("id", "rid")
     h = lambda salt: F.pmod(F.xxhash64("rid", F.lit(seed), F.lit(salt)), F.lit(1 << 31))  # noqa: E731
     source = F.when(h(0) % 100 < hot_pct, F.lit("src0")).otherwise(
@@ -43,7 +51,7 @@ def synth_events(
     return df.select(
         source.alias("source"),
         F.concat(F.lit("e"), ent.cast("string")).alias("doc_id"),
-        F.col("rid").cast("long").alias("ts"),
+        (F.col("rid") / F.lit(int(ts_scale))).cast("long").alias("ts"),
         F.col("rid").cast("long").alias("seq"),
         F.when(is_wd, F.lit("wd")).otherwise(F.lit("ann")).alias("kind"),
         F.when(~is_wd, tokens).alias("tokens"),

@@ -41,13 +41,21 @@ def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
     hot = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    ts_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
     cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/root/repo/.bench-cache")
     os.makedirs(cache, exist_ok=True)
     suffix = "" if hot == 40 else f"_hot{hot}"
+    if n_sources != 20:
+        suffix += f"_s{n_sources}"
+    if ts_scale != 1:
+        suffix += f"_t{ts_scale}"
     path = f"{cache}/bench_events_{rows}{suffix}.parquet"
     if not os.path.isdir(path):
-        synth_events(spark, rows, hot_pct=hot).write.mode("overwrite").parquet(path)
+        synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).write.mode(
+            "overwrite"
+        ).parquet(path)
     ev = spark.read.parquet(path)
     cfg = EngineConfig()
 
@@ -85,6 +93,7 @@ def main():
         "cpus": cpus,
         "rows": rows,
         "hot_pct": hot,
+        "n_sources": n_sources, "ts_scale": ts_scale,
         "stages": stages,
         "loads": [round(x, 2) for x in loads],
         "max_load": round(max(loads), 2),

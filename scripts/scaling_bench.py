@@ -32,6 +32,9 @@ HOT_PCT = int(sys.argv[4]) if len(sys.argv) > 4 else 40
 # efficiency ceiling INHERENT to the per-source-sequential Q5 recurrence,
 # not the engine); 128+ = the 100TB-regime breadth where every stage packs.
 N_SOURCES = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+# events/sec of the synthetic stream (bin density knob): 1 = legacy sparse
+# (~2 events per source-bin); 100+ = realistic dense bins
+TS_SCALE = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
 CHILD = r'''
 import sys, time, os
@@ -42,13 +45,16 @@ from bgp_feature_extractor_spark.sources.synth import synth_events
 from bgp_feature_extractor_spark.config import EngineConfig
 cpus = int(sys.argv[1]); rows = int(sys.argv[2]); hot = int(sys.argv[3])
 n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+ts_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2*cpus)
 suffix = "" if hot == 40 else f"_hot{hot}"
 if n_sources != 20:
     suffix += f"_s{n_sources}"
+if ts_scale != 1:
+    suffix += f"_t{ts_scale}"
 path = f"%(repo)s/.bench-cache/bench_events_{rows}{suffix}.parquet"
 if not os.path.isdir(path):
-    synth_events(spark, rows, hot_pct=hot, n_sources=n_sources).write.mode("overwrite").parquet(path)
+    synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).write.mode("overwrite").parquet(path)
 ev = spark.read.parquet(path)
 def force(df): df.write.format("noop").mode("overwrite").save()
 rare_mode = os.environ.get("SPARK_GRAFT_RARE_MODE")
@@ -66,7 +72,7 @@ for line in sys.stdin:
 def spawn(cpus: int) -> subprocess.Popen:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return subprocess.Popen(
-        [sys.executable, "-c", CHILD % {"repo": repo}, str(cpus), str(ROWS), str(HOT_PCT), str(N_SOURCES)],
+        [sys.executable, "-c", CHILD % {"repo": repo}, str(cpus), str(ROWS), str(HOT_PCT), str(N_SOURCES), str(TS_SCALE)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         text=True,
     )
@@ -136,7 +142,7 @@ def main():
     ceiling = _burn_ceiling(N)
     print(json.dumps({
         "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "hot_pct": HOT_PCT,
-        "n_sources": N_SOURCES,
+        "n_sources": N_SOURCES, "ts_scale": TS_SCALE,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
