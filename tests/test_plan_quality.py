@@ -193,3 +193,16 @@ def test_embedding_near_dup_multiband_superset(spark):
     p2 = {(r["id_a"], r["id_b"]) for r in two.collect()}
     assert p1 <= p2
     assert len(p2) >= len(p1)
+
+
+def test_rare_exact_plan_uses_packed_exchange(spark, events_parquet):
+    """The exact rare stage's shuffle must be the LPT-packed hash exchange
+    on the injective _pack_x token (REPARTITION_BY_NUM), not a plain hash
+    repartition on source (collision stragglers) and not a range exchange
+    (boundary-sampling re-execution of the child plan)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(EngineConfig(), rare_mode="exact")
+    plan = _plan(feature_matrix(events_parquet, None, cfg))
+    assert "_pack_x" in plan, "rare stage lost the packed exchange"
+    assert "rangepartitioning(source" not in plan
