@@ -13,6 +13,7 @@ while true; do
   if [ -f "$REPO/.bench-cache/PAUSE" ]; then sleep 60; continue; fi
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$LOAD') < 1.5 else 1)"; then
+    touch "$REPO/.bench-cache/RUNNING"
     # headline: 8M uniform over 128 sources (the 100TB-regime breadth —
     # every stage, incl. the per-source-sequential rare kernel, packs its
     # waves; no quantization artifact from the tiny source count);
@@ -31,6 +32,10 @@ while true; do
     # .bench-cache/stage_profiles.jsonl itself)
     (cd "$REPO" && timeout 900 python scripts/profile_stages.py 16 8000000 5 >/dev/null 2>&1)
     (cd "$REPO" && timeout 900 python scripts/profile_stages.py 4 8000000 5 >/dev/null 2>&1)
+    # dense-fixture per-stage attribution (the headline profile)
+    (cd "$REPO" && timeout 900 python scripts/profile_stages.py 16 8000000 5 128 100 >/dev/null 2>&1)
+    (cd "$REPO" && timeout 900 python scripts/profile_stages.py 4 8000000 5 128 100 >/dev/null 2>&1)
+    rm -f "$REPO/.bench-cache/RUNNING"
   fi
   sleep 240
 done
