@@ -98,6 +98,21 @@ def main() -> None:
     out_rows = feature_matrix(events, None, cfg).count()
     results["feature_matrix_synth"] = round(headline_sec, 3)
 
+    # realistic-density twin of the headline: same 1M rows over 128 sources
+    # at ~40 announcements per source-minute-bin (ts_scale=100) — the bin
+    # density the reference's golden CSVs actually show. The sparse legacy
+    # fixture above is kept as the cross-round comparison point.
+    dense_path = f"{cache_dir}/bench_events_{n_rows}_hot5_s128_t100.parquet"
+    if not os.path.isdir(dense_path):
+        synth_events(spark, n_rows, hot_pct=5, n_sources=128, ts_scale=100).write.mode(
+            "overwrite"
+        ).parquet(dense_path)
+    dense_events = spark.read.parquet(dense_path)
+    _force(feature_matrix(dense_events, None, cfg))
+    t0 = time.perf_counter()
+    _force(feature_matrix(dense_events, None, cfg))
+    results["feature_matrix_synth_dense"] = round(time.perf_counter() - t0, 3)
+
     if not headline_only:
         qs = entrymod.queries()
         for name in BENCH_QUERIES:

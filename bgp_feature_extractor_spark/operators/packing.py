@@ -52,13 +52,20 @@ def lpt_assign(sizes: list[tuple[str, int]], n_parts: int) -> dict[str, int]:
     return out
 
 
+_TOKEN_CACHE: dict[int, list[int]] = {}
+
+
 def injective_partition_tokens(spark: SparkSession, n_parts: int) -> list[int]:
     """int token x_p per slot p with pmod(hash(x_p), n_parts) == p.
 
     Uses F.hash (murmur3, seed 42 — the same function HashPartitioning
     applies to an int32 shuffle key), so ``repartition(n_parts, lit(x_p))``
     provably lands in partition p. One Spark job over 64*n_parts candidate
-    ints: P(slot unhit) ~ (1 - 1/n)^{64n} ~ e^-64 per slot."""
+    ints: P(slot unhit) ~ (1 - 1/n)^{64n} ~ e^-64 per slot. The mapping
+    depends only on n_parts (murmur3 is fixed), so it is memoized
+    process-wide — repeated plan builds pay zero extra jobs."""
+    if n_parts in _TOKEN_CACHE:
+        return _TOKEN_CACHE[n_parts]
     cand = spark.range(0, 64 * n_parts).select(
         F.col("id").cast("int").alias("x"),
         F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_parts)).alias("p"),
@@ -68,7 +75,8 @@ def injective_partition_tokens(spark: SparkSession, n_parts: int) -> list[int]:
     missing = [p for p in range(n_parts) if p not in m]
     if missing:  # astronomically unlikely; widen the candidate range
         raise RuntimeError(f"no hash token found for partitions {missing}")
-    return [m[p] for p in range(n_parts)]
+    _TOKEN_CACHE[n_parts] = [m[p] for p in range(n_parts)]
+    return _TOKEN_CACHE[n_parts]
 
 
 def repartition_packed(
