@@ -20,7 +20,7 @@ while true; do
     # then 8M uniform / 20 sources (reference-like few-collectors regime:
     # inherent ceil(20/c) wave ceiling documents the Q5 Amdahl bound);
     # then 2M 40%-hot: the skew stress case
-    for ARGS in "8000000 4 3 5 128 100" "8000000 4 3 5 20" "2000000 4 3 40 20"; do
+    for ARGS in "8000000 4 3 5 128 100" "8000000 2 3 5 128 100" "8000000 4 3 5 20" "2000000 4 3 40 20"; do
       R=$(cd "$REPO" && timeout 1800 python scripts/scaling_bench.py $ARGS 2>/dev/null | tail -1)
       [ -n "$R" ] && echo "$R" >> "$OUT"
     done
