@@ -367,6 +367,171 @@ def rare_bin_aggregates_stream(
     return part.mapInArrow(gen, RARE_BIN_SCHEMA)
 
 
+RARE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("rare", T.LongType()),
+    ]
+)
+
+
+def rare_events_stream(
+    events: DataFrame,
+    cfg: EngineConfig | None = None,
+    sizes: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Per-EVENT rare counts — the width-independent core of quirk Q5.
+
+    The Q5 recurrence (frequency table + P20 threshold re-percentiled every
+    ``rare_block`` paths + warm-up gate, bgpmetrics_as.py:601-628) depends
+    only on each source's announcement stream in (ts, seq) order — never on
+    the bin width. This variant of :func:`rare_bin_aggregates_stream` runs
+    the identical kernel but emits one row per GATED announcement
+    ``(source, ts, seq, rare)`` instead of per-bin aggregates, so a
+    multi-width plan (plans/feature_matrix.multi_width_matrices) executes
+    the sequential recurrence ONCE and re-bins the per-event values per
+    width with a cheap groupBy (see :func:`rare_bins_from_events`).
+
+    Input: raw events with (source, ts, seq, kind, tokens) — no bin needed.
+    """
+    cfg = cfg or EngineConfig()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import functions as F
+
+    block, pct = cfg.rare_block, cfg.rare_pctile
+
+    slim = events.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    if sizes:
+        from bgp_feature_extractor_spark.operators.packing import repartition_packed
+
+        part = repartition_packed(slim, "source", sizes)
+    else:
+        part = slim.repartitionByRange("source")
+    part = part.sortWithinPartitions("source", "ts", "seq")
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("ts", pa.int64()),
+            ("seq", pa.int64()),
+            ("rare", pa.int64()),
+        ]
+    )
+
+    def gen(batches):
+        cur = None
+        flats: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        tss: list[np.ndarray] = []
+        seqs: list[np.ndarray] = []
+
+        def flush():
+            if cur is None:
+                return None
+            flat = np.concatenate(flats) if flats else np.zeros(0, dtype=np.int64)
+            ln = np.concatenate(lens) if lens else np.zeros(0, dtype=np.int64)
+            ts = np.concatenate(tss) if tss else np.zeros(0, dtype=np.int64)
+            sq = np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.int64)
+            rare, gated = rare_counts_from_flat(flat, ln, block, pct)
+            if not gated.any():
+                return None
+            return pa.record_batch(
+                [
+                    pa.array([cur] * int(gated.sum()), pa.string()),
+                    pa.array(ts[gated], pa.int64()),
+                    pa.array(sq[gated], pa.int64()),
+                    pa.array(rare[gated].astype(np.int64), pa.int64()),
+                ],
+                schema=out_schema,
+            )
+
+        for b in batches:
+            src = b.column(0).to_numpy(zero_copy_only=False)
+            ts = b.column(1).to_numpy(zero_copy_only=False)
+            sq = b.column(2).to_numpy(zero_copy_only=False)
+            toks = b.column(3)
+            n = len(src)
+            if n == 0:
+                continue
+            starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+            ends = np.concatenate((starts[1:], [n]))
+            for i, j in zip(starts, ends):
+                if src[i] != cur:
+                    rb = flush()
+                    if rb is not None:
+                        yield rb
+                    cur = src[i]
+                    flats, lens, tss, seqs = [], [], [], []
+                run = toks.slice(i, j - i)
+                flats.append(run.flatten().to_numpy(zero_copy_only=False))
+                lens.append(pc.list_value_length(run).to_numpy(zero_copy_only=False).astype(np.int64))
+                tss.append(ts[i:j].astype(np.int64))
+                seqs.append(sq[i:j].astype(np.int64))
+        rb = flush()
+        if rb is not None:
+            yield rb
+
+    return part.mapInArrow(gen, RARE_EVENT_SCHEMA)
+
+
+def rare_bins_from_events(
+    rare_events: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Re-bin per-event rare counts for one width: broadcast the per-source
+    first_ts, derive ``bin = (ts - first_ts) // bin_size``, and aggregate
+    sum/max/avg — byte-identical to the per-bin kernels' output (the kernel
+    aggregates the same per-event values the same way)."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    from bgp_feature_extractor_spark.operators.binning import with_bin
+
+    return (
+        with_bin(rare_events, firsts, cfg)
+        .groupBy("source", "bin")
+        .agg(
+            F.sum("rare").alias("number_rare_ases"),
+            F.max("rare").alias("rare_ases_max"),
+            F.avg("rare").alias("rare_ases_avg"),
+        )
+    )
+
+
+def resolve_rare_mode(cfg: EngineConfig, sizes: list[tuple[str, int]]) -> str:
+    """Resolve 'auto' to a concrete mode from the per-source row counts.
+
+    'auto' picks 'exact' (reference-faithful sequential kernel) while every
+    source fits one task, and escalates to 'block' — the documented
+    RELAXATION whose thresholds freeze per ``rare_shard_paths`` shard, so
+    values can diverge from the reference — once the hottest source crosses
+    ``cfg.rare_auto_rows``. Because that switch is data-size-dependent, it
+    is LOGGED at WARNING level so the same pipeline never silently changes
+    semantics between runs of different sizes (ADVICE r2)."""
+    if cfg.rare_mode != "auto":
+        return cfg.rare_mode
+    hottest = max((n for _, n in sizes), default=0)
+    if hottest <= cfg.rare_auto_rows:
+        return "exact"
+    import logging
+
+    logging.getLogger("bgp_feature_extractor_spark").warning(
+        "rare_mode='auto': hottest source has %d rows > rare_auto_rows=%d; "
+        "escalating to 'block' (thresholds frozen per %d-path shard — a "
+        "documented relaxation; values may diverge from the reference's "
+        "sequential recurrence). Set rare_mode='exact' or 'dist' to force "
+        "reference-exact semantics.",
+        hottest,
+        cfg.rare_auto_rows,
+        cfg.rare_shard_paths,
+    )
+    return "block"
+
+
 def rare_counts_block_loop(
     paths: list, block: int = 1000, pctile: float = 20.0, shard_paths: int = 50
 ) -> tuple[np.ndarray, np.ndarray]:

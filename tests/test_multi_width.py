@@ -1,0 +1,94 @@
+"""multi_width_matrices: width-sharing correctness + plan quality.
+
+VERDICT r2 #2: the r2 implementation re-ran the classify exchange, the
+Arrow Levenshtein UDF and the Q5 rare recurrence once PER width (6x on
+the reference timescale set). The shared implementation computes them
+once; these tests pin (a) exact equality with independent per-width runs
+— including a fixture dense enough that the rare family is nonzero, so
+rare_bins_from_events is value-checked — and (b) the sharing itself
+(eager cache materialized at plan build; every width branch reads it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bgp_feature_extractor_spark.config import EngineConfig
+from bgp_feature_extractor_spark.plans.feature_matrix import (
+    feature_matrix,
+    multi_width_matrices,
+)
+from bgp_feature_extractor_spark.sources.synth import synth_events
+
+WIDTHS = (1, 5)
+
+
+@pytest.fixture(scope="module")
+def dense_events(spark, tmp_path_factory):
+    # 4 sources x ~7.5k rows -> ~6.4k announced paths per source: clears the
+    # 1000-path warm-up gate, so rare columns are NONZERO in this fixture
+    path = str(tmp_path_factory.mktemp("mw") / "events.parquet")
+    synth_events(
+        spark, 30_000, n_sources=4, hot_pct=25, ts_scale=50
+    ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def mw(dense_events):
+    return multi_width_matrices(dense_events, None, EngineConfig(), widths=WIDTHS)
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.drop(columns=["timestamp"])
+    return pdf.sort_values(["source", "bin"]).reset_index(drop=True)[
+        sorted(pdf.columns)
+    ]
+
+
+def test_multi_width_equals_independent_runs(dense_events, mw):
+    got_all = mw.toPandas()
+    for w in WIDTHS:
+        want = _sorted(
+            feature_matrix(
+                dense_events, None, dataclasses.replace(EngineConfig(), minutes_window=w)
+            ).toPandas()
+        )
+        got = _sorted(
+            got_all[got_all["minutes_window"] == w].drop(columns=["minutes_window"])
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_multi_width_rare_nonzero(mw):
+    # guard: the fixture must actually exercise the shared rare path
+    n = mw.filter(F.col("number_rare_ases") > 0).count()
+    assert n > 0
+
+
+def test_multi_width_shares_classify(spark, dense_events):
+    mw = multi_width_matrices(dense_events, None, EngineConfig(), widths=WIDTHS)
+    # (a) plan build already materialized the shared frames (eager count()
+    # on the persisted classify+editdist and per-event rare DataFrames)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos)
+    # (b) every width branch reads the cache: one InMemoryTableScan per
+    # width for the classified frame (plus one per width for rare events)
+    plan = mw._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2 * len(WIDTHS)
+    # (c) the classify exchange/UDF must NOT appear outside the cached
+    # relation: strip InMemoryRelation subtree dumps, then no
+    # ArrowEvalPython (Levenshtein) node may remain live in any branch
+    live = "\n".join(
+        ln for ln in plan.splitlines() if "InMemoryRelation" not in ln
+    )
+    # the executed plan prints cached children under InMemoryRelation only;
+    # a live (re-executed) ArrowEvalPython would appear as a plan node line
+    # starting with +-/:- outside those dumps. Count conservatively: the
+    # cached dump repeats per scan, so require the live plan to contain no
+    # MORE ArrowEvalPython mentions than the cached dumps account for.
+    assert live.count("ArrowEvalPython") <= plan.count("InMemoryRelation")
