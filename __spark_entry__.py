@@ -438,14 +438,15 @@ def q_ann_lsh_indexed(spark, sf_dir):
 
 def q_corpus_prep(spark, sf_dir):
     """End-to-end corpus funnel: quality gate -> exact dedup -> LSH
-    near-dup removal -> per-doc stats (plans/corpus_prep.py). The whole
-    composition — including the greedy drop-larger-id near-dup policy —
-    has an exact DuckDB twin."""
+    near-dup candidates -> exact-Jaccard verification (>=0.8 on distinct
+    word-token sets) -> drop larger id -> per-doc stats
+    (plans/corpus_prep.py). The whole composition — including the greedy
+    verified-drop policy — has an exact DuckDB twin."""
     from bgp_feature_extractor_spark.plans.corpus_prep import corpus_prep
 
     return corpus_prep(
         _t(spark, sf_dir, "documents"), min_quality=0.3, min_words=5,
-        n_hashes=32, bands=4, quality_round=EMB_ROUND,
+        n_hashes=32, bands=4, quality_round=EMB_ROUND, jaccard_threshold=0.8,
     )
 
 
@@ -788,7 +789,8 @@ FROM documents
 def _corpus_prep_sql() -> str:
     """DuckDB twin of plans/corpus_prep.corpus_prep: same rounded quality
     gate, same md5 exact-dedup keep-min-id, same 32x4 banded MinHash over
-    md5-word tokens of the survivors, same greedy drop-larger-id policy."""
+    md5-word tokens of the survivors, same exact-Jaccard >=0.8
+    verification on candidate pairs, same greedy drop-larger-id policy."""
     n_hashes, bands = 32, 4
     rows = n_hashes // bands
     params = DD._hash_params(n_hashes)
@@ -823,7 +825,16 @@ sig AS (SELECT _id, {sig_exprs} FROM toks),
 banded AS ({band_rows}),
 pairs AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
           FROM banded a JOIN banded b USING (band, bkey) WHERE a._id < b._id),
-drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+vpairs AS (
+  SELECT id_a, id_b
+  FROM pairs p
+  JOIN toks a ON a._id = p.id_a
+  JOIN toks b ON b._id = p.id_b
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= 0.8
+),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM vpairs)
 SELECT u.doc_id, u.source, u.lang, u.n_words, u.quality
 FROM u ANTI JOIN drops USING (doc_id)
 """

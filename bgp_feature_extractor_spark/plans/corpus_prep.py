@@ -14,12 +14,21 @@ Physical shape (and why it scales):
   * near-dup candidates come from banded MinHash LSH (one JVM ``aggregate``
     fold per doc for the signature, equi-join on hash-uniform band keys),
     never an all-pairs block join;
-  * the drop policy is single-pass and deterministic: a doc is dropped iff
-    it collides in some band with a SMALLER surviving doc_id ("keep the
-    earliest member of each candidate pair"). This is the standard greedy
-    relaxation of connected-component dedup — no iterative union-find job,
-    one anti-join — and is exactly SQL-expressible, so the whole funnel
-    has a DuckDB oracle twin in ``__spark_entry__.oracle_sql()``.
+  * candidates are VERIFIED before any document is dropped: exact Jaccard
+    over the distinct word-token sets (the same quantity the MinHash
+    signatures approximate) is computed only on the O(candidates) pair
+    rows, and a pair below ``jaccard_threshold`` survives. Raw band
+    collisions are guaranteed false positives at 100TB scale (32 hashes /
+    4 bands), and silently deleting non-duplicate training documents is a
+    data-loss bug (VERDICT r2 #3);
+  * the drop policy is single-pass, deterministic and plain GREEDY: a doc
+    is dropped iff some verified pair has it as the larger doc_id — even
+    when the smaller partner was itself dropped (in a chain (1,2),(2,3),
+    doc 3 is dropped although its only partner 2 is gone too). This is the
+    standard greedy relaxation of connected-component dedup — no iterative
+    union-find job, one anti-join — and is exactly SQL-expressible, so the
+    whole funnel has a DuckDB oracle twin in
+    ``__spark_entry__.oracle_sql()``.
 """
 
 from __future__ import annotations
@@ -42,12 +51,16 @@ def corpus_prep(
     n_hashes: int = 32,
     bands: int = 4,
     quality_round: int = 6,
+    jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """documents(doc_id, source, lang, text) -> surviving docs with stats.
 
     ``quality_round``: the gate compares the quality score ROUNDED to this
     many digits so engine and oracle agree on boundary values regardless
-    of float formatting."""
+    of float formatting.
+
+    ``jaccard_threshold``: minimum exact word-set Jaccard for a candidate
+    pair to count as a near-duplicate; band collisions below it survive."""
     t = F.col("text")
     stats = docs.select(
         "doc_id",
@@ -64,10 +77,23 @@ def corpus_prep(
     ex = gated.withColumn("content_key", F.md5("text"))
     keep = ex.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
     uniq = ex.join(keep, ["content_key", "doc_id"]).drop("content_key")
-    # near-dup removal: LSH band collision against a smaller id => drop
-    toks = uniq.select("doc_id", word_hash_tokens(F.col("text")).alias("tokens"))
+    # near-dup removal: LSH band candidates, VERIFIED by exact Jaccard over
+    # the distinct word-token sets before the larger id is dropped — the
+    # set intersection runs only on the O(candidates) pair rows
+    toks = uniq.select(
+        "doc_id", F.array_distinct(word_hash_tokens(F.col("text"))).alias("tokens")
+    )
     pairs = minhash_lsh_pairs(toks, "doc_id", "tokens", n_hashes=n_hashes, bands=bands)
-    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tokens").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tokens").alias("tok_b"))
+    inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    verified = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter((inter / union) >= F.lit(jaccard_threshold))
+    )
+    drops = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return (
         uniq.join(drops, "doc_id", "left_anti")
         .select("doc_id", "source", "lang", "n_words", "quality")
