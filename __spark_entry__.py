@@ -215,6 +215,39 @@ def q_feature_matrix_full(spark, sf_dir):
     return feature_matrix(_doc_events(spark, sf_dir), None, CFG).drop("timestamp")
 
 
+def q_rare_bins(spark, sf_dir):
+    """Q5 rare-token recurrence with NONZERO values under a value-checking
+    oracle (VERDICT r2 gap: feature_matrix_full's oracle pins the rare
+    family to 0 because the driver fixture never clears the reference's
+    1000-path warm-up gate, bgpmetrics_as.py:607-614). Here rare_block=10
+    scales the gate to the fixture's ~20 announced paths per source, so
+    thresholds exist, rows gate open mid-stream, and the per-bin rare
+    aggregates carry nonzero values. The DuckDB twin expresses the full
+    recurrence relationally: occurrence index = row_number per (source,
+    token) in path order; block thresholds = quantile_cont(P20) over the
+    level-m frequency snapshot (paths i < block*m - 1); a path at index i
+    uses level least((i+1)//block, n_levels) and is gated iff i+1 >= block
+    — the exact transliteration of operators/rare.rare_counts_loop."""
+    import dataclasses
+
+    from bgp_feature_extractor_spark.operators.binning import first_ts_per_source
+    from bgp_feature_extractor_spark.operators.rare import (
+        rare_bins_from_events,
+        rare_events_stream,
+    )
+
+    ev = _doc_events(spark, sf_dir)
+    cfg = dataclasses.replace(CFG, rare_block=10)
+    pb = rare_bins_from_events(rare_events_stream(ev, cfg), first_ts_per_source(ev), cfg)
+    return pb.select(
+        "source",
+        "bin",
+        "number_rare_ases",
+        "rare_ases_max",
+        F.round("rare_ases_avg", EMB_ROUND).alias("rare_ases_avg"),
+    )
+
+
 def _doc_intervals(matrix):
     """Derived anomaly interval per source: the middle third of its
     timestamp2 range (deterministic, SQL-mirrorable)."""
@@ -503,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_classify": q_asof_classify,
         "feature_matrix": q_feature_matrix,
         "feature_matrix_full": q_feature_matrix_full,
+        "rare_bins": q_rare_bins,
         "label_ratios": q_label_ratios,
         "csv_round_trip": q_csv_round_trip,
         "multi_width": q_multi_width,
@@ -1098,6 +1132,54 @@ FROM fin GROUP BY cls
 SELECT m.*, 0::BIGINT AS number_rare_ases, 0::BIGINT AS rare_ases_max,
        0.0 AS rare_ases_avg
 FROM ({_feature_matrix_sql()}) m
+"""
+    # Q5 recurrence, value-checked (rare_block=10 so the fixture gates
+    # open): relational transliteration of operators/rare.rare_counts_loop
+    _rb, _rpct = 10, 20.0
+    sqls["rare_bins"] = f"""
+WITH ev AS ({_DOC_EV}),
+firsts AS (SELECT source, min(ts) AS first_ts FROM ev GROUP BY source),
+paths AS (
+  SELECT source, ts, list_distinct(tokens) AS utoks,
+         row_number() OVER (PARTITION BY source ORDER BY ts, seq) - 1 AS i
+  FROM ev WHERE kind = 'ann' AND tokens IS NOT NULL
+),
+np AS (SELECT source, count(*) AS n FROM paths GROUP BY source),
+ex AS (SELECT source, i, unnest(utoks) AS tok FROM paths),
+occ AS (
+  SELECT source, i, tok,
+         row_number() OVER (PARTITION BY source, tok ORDER BY i) AS occ
+  FROM ex
+),
+lv AS (SELECT source, unnest(range(1, n // {_rb} + 1)) AS m FROM np),
+snap AS (
+  SELECT l.source, l.m, e.tok, count(*) AS c
+  FROM lv l JOIN ex e ON e.source = l.source AND e.i < {_rb} * l.m - 1
+  GROUP BY 1, 2, 3
+),
+thr AS (SELECT source, m, quantile_cont(c, {_rpct / 100.0}) AS thr FROM snap GROUP BY 1, 2),
+pr AS (
+  SELECT o.source, o.i, count(*) FILTER (WHERE o.occ < t.thr) AS rare
+  FROM occ o
+  JOIN np ON np.source = o.source
+  LEFT JOIN thr t ON t.source = o.source
+                 AND t.m = least((o.i + 1) // {_rb}, np.n // {_rb})
+  GROUP BY 1, 2
+),
+pp AS (
+  SELECT p.source, p.ts, coalesce(pr.rare, 0) AS rare
+  FROM paths p LEFT JOIN pr ON pr.source = p.source AND pr.i = p.i
+  WHERE p.i + 1 >= {_rb}
+),
+binz AS (
+  SELECT pp.source, (pp.ts - f.first_ts) // {CFG.bin_size} AS bin, pp.rare
+  FROM pp JOIN firsts f ON f.source = pp.source
+)
+SELECT source, bin,
+       sum(rare)::BIGINT AS number_rare_ases,
+       max(rare)::BIGINT AS rare_ases_max,
+       round(avg(rare), {EMB_ROUND}) AS rare_ases_avg
+FROM binz GROUP BY 1, 2
 """
     sqls["dedup_exact"] = """
 SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
