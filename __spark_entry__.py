@@ -469,6 +469,31 @@ def q_ann_lsh_indexed(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_lsh_probes(spark, sf_dir):
+    """Multi-probe indexed ANN (probes=3): scans the query's bucket PLUS
+    its two smallest-margin Hamming-1 neighbor buckets (the planes the
+    query sits closest to are the ones most likely to have split true
+    neighbors away). Still partition-pruned — an IN-list over the bucket
+    partition column reads 3/2^8 of the index — and recall is a strict
+    superset of the single-bucket ann_lsh_indexed scan."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [r[0] for r in emb.filter(F.col("vec_id") == 2).select(F.explode("embedding")).collect()]
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ann_mp_")
+    try:
+        path = f"{tmp}/ann_index"
+        SIM.write_ann_index(emb, path, n_planes=8)
+        top = SIM.ann_lsh_topk_indexed(
+            spark, path, q, k=10, n_planes=8, exclude_id=2, probes=3
+        )
+        out = top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
+        return spark.createDataFrame(out.toPandas(), out.schema)  # outlive the temp dir
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end corpus funnel: quality gate -> exact dedup -> LSH
     near-dup candidates -> exact-Jaccard verification (>=0.8 on distinct
@@ -553,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_mb": q_embedding_near_dup_mb,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
+        "ann_lsh_probes": q_ann_lsh_probes,
         "corpus_prep": q_corpus_prep,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1283,6 +1309,22 @@ LIMIT 10
 """
     # the write-time-bucketed index must return exactly the recompute answer
     sqls["ann_lsh_indexed"] = sqls["ann_lsh"]
+    # multi-probe: query bucket + 2 smallest-margin Hamming-1 neighbors
+    _margins = ", ".join(f"abs({_plane_dot(i)})" for i in range(8))
+    sqls["ann_lsh_probes"] = f"""
+WITH bk AS (SELECT vec_id, embedding::DOUBLE[] AS _v, ({_bucket})::BIGINT AS bucket FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv, ({_bucket})::BIGINT AS qb,
+      [{_margins}] AS margins
+      FROM embeddings WHERE vec_id = 2),
+mrow AS (SELECT t.i, q.margins[t.i + 1] AS m FROM q, range(8) t(i)),
+flips AS (SELECT i FROM mrow ORDER BY m, i LIMIT 2),
+probes AS (SELECT qb AS b FROM q UNION ALL SELECT xor(qb, (1::BIGINT << i)) FROM flips, q)
+SELECT a.vec_id, round({_cos_q}, {EMB_ROUND}) AS cosine
+FROM bk a, q
+WHERE a.vec_id <> 2 AND a.bucket IN (SELECT b FROM probes)
+ORDER BY {_cos_q} DESC, a.vec_id
+LIMIT 10
+"""
     sqls["tpch_q1"] = f"""
 SELECT l_returnflag, l_linestatus,
   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,

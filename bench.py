@@ -26,6 +26,8 @@ import time
 
 BENCH_QUERIES = [
     "feature_matrix",
+    "multi_width",
+    "rare_bins",
     "asof_classify",
     "sessionize",
     "rolling",
@@ -41,6 +43,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "embedding_near_dup",
     "ann_lsh",
+    "ann_lsh_probes",
     "tpch_q1",
     "revenue_by_nation",
 ]

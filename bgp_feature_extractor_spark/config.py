@@ -44,7 +44,12 @@ class EngineConfig:
     # 'auto'  = 'exact' while every source fits comfortably in one task,
     #           'block' once the hottest source crosses rare_auto_rows
     #           (AQE-style plan decision off the tiny per-source stats
-    #           aggregate the pipeline computes anyway);
+    #           aggregate the pipeline computes anyway). NOTE: the
+    #           escalation CHANGES SEMANTICS (block freezes thresholds per
+    #           shard — values may diverge from the reference) and is
+    #           data-size-dependent; operators/rare.resolve_rare_mode logs
+    #           a WARNING whenever it fires. Pin rare_mode='exact' or
+    #           'dist' for guaranteed reference-exact numbers at any size;
     # 'off'   = rare family pinned to 0 (drops the only sequentially-
     #           constrained features).
     rare_mode: str = "auto"

@@ -3,10 +3,11 @@ pipelines.
 
 Media payloads are opaque ``binary`` columns + typed metadata structs; the
 Spark-side plumbing (schema, partition strategy, Arrow batch shape, UDF
-signatures) is real and tested. The actual codec step is stubbed — the
-image/audio libraries are not in this container — behind
-``DecodeUnavailable`` plus a deterministic fake decoder so downstream
-feature extraction is exercisable end-to-end.
+signatures) is real and tested. Decoding is real for the pure-numpy
+formats — binary PPM images, uncompressed 24-bit BMP, 16-bit PCM WAV
+(``real_decode``) — and raises ``DecodeUnavailable`` only for compressed
+codecs (JPEG/PNG/MP4-class) whose libraries are not in this container;
+``fake_decode`` remains as the deterministic stand-in for those.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
   * batch size is capped via spark.sql.execution.arrow.maxRecordsPerBatch
@@ -61,14 +62,114 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real decode path: codec libraries (PIL/av/librosa)
-    are not installed in this image."""
+    """Raised by the real decode path for formats that need codec
+    libraries (JPEG/PNG/MP4-class) — PIL/av are not in this image.
+    PPM/BMP/WAV are decoded with pure numpy (see real_decode)."""
 
 
-def real_decode(payload: bytes, kind: str, meta) -> np.ndarray:  # pragma: no cover
+def _ppm_tokens(b: bytes, n: int) -> tuple[list[bytes], int]:
+    """First n whitespace-separated PPM header tokens (with '#' comment
+    support, per the netpbm spec) + offset of the byte after the single
+    whitespace that terminates the last token."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < n:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(b[i:j])
+        i = j
+    return toks, i + 1  # skip exactly one whitespace after maxval
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6): header 'P6 <w> <h> <maxval>' then raw RGB bytes.
+    Returns the grayscale (channel-mean) pixel grid flattened, in [0, 1]."""
+    toks, off = _ppm_tokens(b, 4)
+    if toks[0] != b"P6":
+        raise DecodeUnavailable(f"not a binary PPM: magic {toks[0]!r}")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        raise DecodeUnavailable("16-bit PPM not supported")
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off)
+    return (px.reshape(h, w, 3).mean(axis=2) / maxval).astype(np.float32).ravel()
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): rows are
+    bottom-up and padded to 4 bytes. Returns grayscale flat array, [0, 1],
+    in top-down row order."""
+    if b[:2] != b"BM":
+        raise DecodeUnavailable("not a BMP")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise DecodeUnavailable(f"BMP header size {hdr_size} unsupported")
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise DecodeUnavailable(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return (rows.mean(axis=2) / 255.0).astype(np.float32).ravel()
+
+
+def _decode_wav(b: bytes) -> np.ndarray:
+    """RIFF/WAVE, 16-bit PCM: walk the chunk list for 'fmt ' and 'data'.
+    Returns mono (channel-mean) float samples in [-1, 1]."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE file")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise DecodeUnavailable("WAV missing fmt/data chunk")
+    audio_format, n_channels, _rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise DecodeUnavailable(f"only 16-bit PCM WAV supported (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return (samples / 32768.0).astype(np.float32)
+
+
+def real_decode(payload: bytes, kind: str, meta) -> np.ndarray:
+    """Decode real media bytes with pure numpy — no codec libraries.
+
+    Supported (public, trivially-parseable formats): binary PPM (P6),
+    uncompressed 24-bit BMP, 16-bit PCM WAV. Compressed formats
+    (JPEG/PNG/MP3/MP4-class) genuinely need PIL/av, which this image
+    lacks, and raise DecodeUnavailable."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
     raise DecodeUnavailable(
-        "media decoding requires PIL/av/librosa — not available in this "
-        "container; use fake_decode for plumbing tests"
+        "payload is not PPM/BMP/WAV; compressed codecs (JPEG/PNG/MP4) "
+        "require PIL/av — not available in this container"
     )
 
 

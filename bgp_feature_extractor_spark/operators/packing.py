@@ -90,7 +90,13 @@ def repartition_packed(
     ``sizes``: (key, weight) rows collected from a per-key stats aggregate
     (one row per key — plan metadata, not data). ``n_parts`` defaults to
     min(n_keys, 2 * defaultParallelism): full waves while keys are scarce,
-    ~2 tasks/core for straggler resilience when keys are plentiful."""
+    ~2 tasks/core for straggler resilience when keys are plentiful.
+
+    Keys absent from ``sizes`` are NOT dropped (ADVICE r2: the former
+    inner join silently lost rows for stale/partial caller stats): the
+    join is a left join, and unmapped keys fall back to a hash-consistent
+    partition token — the key still lands wholly in one partition, just
+    without an LPT-planned slot."""
     spark = df.sparkSession
     if not sizes:
         return df.repartitionByRange(key_col)
@@ -101,8 +107,13 @@ def repartition_packed(
     dim = spark.createDataFrame(
         [(k, tokens[p]) for k, p in assign.items()], [key_col, "_pack_x"]
     ).withColumn("_pack_x", F.col("_pack_x").cast("int"))
+    fallback = F.element_at(
+        F.array(*[F.lit(t) for t in tokens]),
+        (F.pmod(F.hash(F.col(key_col)), F.lit(n_parts)) + 1).cast("int"),
+    ).cast("int")
     return (
-        df.join(F.broadcast(dim), key_col)
+        df.join(F.broadcast(dim), key_col, "left")
+        .withColumn("_pack_x", F.coalesce(F.col("_pack_x"), fallback))
         .repartition(n_parts, "_pack_x")
         .drop("_pack_x")
     )

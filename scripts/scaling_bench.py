@@ -35,6 +35,15 @@ N_SOURCES = int(sys.argv[5]) if len(sys.argv) > 5 else 20
 # events/sec of the synthetic stream (bin density knob): 1 = legacy sparse
 # (~2 events per source-bin); 100+ = realistic dense bins
 TS_SCALE = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+# extra 16c-only rounds after the interleaved ones. Rationale: a 4-core
+# timed run only needs 4 free cores, so its quiet-machine min converges in
+# a few rounds even under partial external load — but the 4N-core run needs
+# the WHOLE box free, making quiet 4N samples far scarcer (observed r2/r3:
+# sec@4 improved 104->48 across rounds while no 16c sample ever ran below
+# external load ~6). Extra high-level samples accelerate convergence of the
+# scarcer min; the reported quantity (per-level quiet minimum) is a
+# property of the config, not of the sampling pattern.
+EXTRA_4N = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 
 CHILD = r'''
 import sys, time, os
@@ -131,6 +140,13 @@ def main():
             loads.append(float(load))
             print(f"round={r} cpus={c} {dt:.2f}s load={load}", file=sys.stderr, flush=True)
         time.sleep(3)
+    for r in range(EXTRA_4N):
+        dt = one(procs[4 * N])
+        load = open("/proc/loadavg").read().split()[0]
+        times[4 * N].append(dt)
+        loads.append(float(load))
+        print(f"extra4n={r} cpus={4*N} {dt:.2f}s load={load}", file=sys.stderr, flush=True)
+        time.sleep(3)
     for c in levels:
         try:
             procs[c].stdin.close(); procs[c].wait(timeout=30)
@@ -141,7 +157,8 @@ def main():
     eff = (thr4n / thrn) / 4
     ceiling = _burn_ceiling(N)
     print(json.dumps({
-        "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "hot_pct": HOT_PCT,
+        "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "extra_4n": EXTRA_4N,
+        "hot_pct": HOT_PCT,
         "n_sources": N_SOURCES, "ts_scale": TS_SCALE,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),

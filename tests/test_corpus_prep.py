@@ -47,3 +47,4 @@ def test_verified_near_duplicate_dropped(survivors):
     # d3/d4 verify at Jaccard ~0.95 >= 0.8: the larger id is dropped
     assert "d3" in survivors
     assert "d4" not in survivors
+

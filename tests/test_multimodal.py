@@ -1,5 +1,6 @@
 """Multimodal plumbing: schema, batch shape, deterministic fake decode,
-frame sampling; the real decoder must raise the documented stub error."""
+frame sampling; plus REAL pure-numpy decoding of PPM/BMP/WAV payloads
+(compressed codecs still raise the documented DecodeUnavailable)."""
 
 from __future__ import annotations
 
@@ -26,7 +27,8 @@ def test_extract_features_deterministic(spark):
     assert [r["feature"] for r in out] == [r["feature"] for r in again]
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_rejects_png():
+    # PNG is a compressed codec -> still DecodeUnavailable (no PIL here)
     with pytest.raises(DecodeUnavailable):
         real_decode(b"\x89PNG", "image", None)
 
@@ -62,3 +64,100 @@ def test_resize_images(spark):
     a = out.sort_values("media_id").reset_index(drop=True)
     b = out2.sort_values("media_id").reset_index(drop=True)
     assert (a["pixels"].map(tuple) == b["pixels"].map(tuple)).all()
+
+
+# ---------------------------------------------------------------------------
+# real pure-numpy decoders (PPM/BMP/WAV) — VERDICT r2 #6
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+
+def make_ppm(w, h, rgb_rows, maxval=255):
+    """rgb_rows: h x w x 3 uint8 array -> binary PPM bytes (with a header
+    comment, exercising the netpbm comment parser)."""
+    a = np.asarray(rgb_rows, dtype=np.uint8)
+    return b"P6\n# test comment\n%d %d\n%d\n" % (w, h, maxval) + a.tobytes()
+
+
+def make_bmp(w, h, rgb_rows):
+    """Uncompressed 24-bit bottom-up BMP with row padding."""
+    a = np.asarray(rgb_rows, dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in a[::-1]:  # bottom-up storage
+        r = row.tobytes()
+        body += r + b"\x00" * (stride - len(r))
+    pix_off = 14 + 40
+    filehdr = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    infohdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return filehdr + infohdr + body
+
+
+def make_wav(samples, n_channels=1, rate=16000):
+    """16-bit PCM RIFF/WAVE from an int16 array (interleaved if stereo)."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_real_decode_ppm_values():
+    rgb = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [30, 60, 90]]]
+    got = real_decode(make_ppm(2, 2, rgb), "image", None)
+    want = np.array([85, 85, 85, 60], dtype=np.float32) / 255.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_real_decode_bmp_values_and_row_order():
+    # 3x2 image, distinct rows: decode must return TOP-down order despite
+    # bottom-up storage + stride padding (3*3=9 bytes padded to 12)
+    rgb = [
+        [[10, 10, 10], [20, 20, 20], [30, 30, 30]],
+        [[200, 200, 200], [210, 210, 210], [220, 220, 220]],
+    ]
+    got = real_decode(make_bmp(3, 2, rgb), "image", None)
+    want = np.array([10, 20, 30, 200, 210, 220], dtype=np.float32) / 255.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_real_decode_wav_mono_and_stereo():
+    mono = real_decode(make_wav([0, 16384, -16384, 32767]), "audio", None)
+    np.testing.assert_allclose(
+        mono, np.array([0.0, 0.5, -0.5, 32767 / 32768], dtype=np.float32), rtol=1e-6
+    )
+    # stereo: channel-mean downmix
+    stereo = real_decode(make_wav([100, 300, -100, -300], n_channels=2), "audio", None)
+    np.testing.assert_allclose(stereo, np.array([200, -200], dtype=np.float32) / 32768.0, rtol=1e-6)
+
+
+def test_real_decode_end_to_end_spark(spark):
+    """Real generated PPM/BMP/WAV bytes through the mapInPandas path —
+    decode is no longer a stub for these formats."""
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    rows = [
+        (0, "image", bytearray(make_ppm(2, 2, rgb)),
+         {"width": 2, "height": 2, "sample_rate": None, "n_frames": None, "mime": "image/x-portable-pixmap"}),
+        (1, "image", bytearray(make_bmp(2, 2, rgb)),
+         {"width": 2, "height": 2, "sample_rate": None, "n_frames": None, "mime": "image/bmp"}),
+        (2, "audio", bytearray(make_wav([0, 1000, -1000, 2000])),
+         {"width": None, "height": None, "sample_rate": 16000, "n_frames": None, "mime": "audio/wav"}),
+    ]
+    from bgp_feature_extractor_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           extract_media_features(media, decoder=real_decode).collect()}
+    assert len(out) == 3
+    # PPM and BMP of the same pixel grid decode to the same grayscale
+    assert out[0]["feature"] == pytest.approx(out[1]["feature"], rel=1e-6)
+    assert len(out[2]["feature"]) == 4
+    assert out[2]["feature"][1] == pytest.approx(1000 / 32768.0, rel=1e-6)
+
+
+def test_real_decode_rejects_compressed():
+    with pytest.raises(DecodeUnavailable):
+        real_decode(b"\xff\xd8\xff\xe0JFIF....", "image", None)  # JPEG

@@ -106,3 +106,18 @@ def test_rare_stream_packed_parity(spark, rare_events):
     )
     assert [tuple(r) for r in base] == [tuple(r) for r in packed]
     assert len(base) > 0
+
+
+def test_unmapped_keys_survive_and_stay_whole(spark):
+    # ADVICE r2: keys missing from the caller's sizes list must not be
+    # silently dropped — they fall back to a hash-consistent partition
+    rows = [(k, i) for k in ("a", "b", "ghost") for i in range(10)]
+    df = spark.createDataFrame(rows, ["source", "v"])
+    out = repartition_packed(df, "source", [("a", 10), ("b", 10)], n_parts=2)
+    placed = out.withColumn("pid", F.spark_partition_id()).collect()
+    assert len(placed) == 30  # nothing dropped
+    pids = {}
+    for r in placed:
+        pids.setdefault(r["source"], set()).add(r["pid"])
+    # every key (mapped or not) lands wholly in one partition
+    assert all(len(v) == 1 for v in pids.values())
