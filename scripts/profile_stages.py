@@ -81,10 +81,17 @@ def main():
     dist = with_edit_distance(binned, "tokens", "prev_tokens").drop("prev_tokens")
     timed("classify+bin+editdist", dist)
     raw_binned = with_bin(ev, firsts, cfg)
-    timed("rare_stream(alone)", rare_bin_aggregates_stream(raw_binned, cfg))
+    # production path: LPT-packed placement from the per-source stats (a
+    # bare call would fall back to repartitionByRange, whose sampling pass
+    # re-executes the child — NOT the shape feature_matrix runs)
+    sizes = [
+        (r["source"], int(r["n_rows"]))
+        for r in firsts.select("source", "n_rows").collect()
+    ]
+    timed("rare_stream(alone)", rare_bin_aggregates_stream(raw_binned, cfg, sizes=sizes))
     agg = aggregate_bins(dist, cfg, slim=raw_binned)
     timed("classify..+split_agg", agg)
-    per_bin = join_rare(agg, rare_bin_aggregates_stream(raw_binned, cfg))
+    per_bin = join_rare(agg, rare_bin_aggregates_stream(raw_binned, cfg, sizes=sizes))
     timed("+rare_join", per_bin)
     timed("+spine(full_decomposed)", dense_spine(per_bin, firsts, cfg))
     timed("feature_matrix(whole)", feature_matrix(ev, None, cfg))
