@@ -494,6 +494,29 @@ def q_ann_lsh_probes(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: vectors partitioned by nearest-centroid id at write
+    time (coarse quantizer = argmax cosine to C deterministic seed
+    centroids — the C smallest vec_ids — so the full index+query path has
+    a DuckDB value oracle), query probes its 2 nearest centroid lists
+    (partition-pruned), exact cosine re-rank. kmeans_refine exists for
+    real deployments; seeding is deterministic here for oracle parity."""
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [r[0] for r in emb.filter(F.col("vec_id") == 2).select(F.explode("embedding")).collect()]
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    try:
+        path = f"{tmp}/ivf_index"
+        SIM.write_ivf_index(emb, path, n_centroids=8)
+        top = SIM.ann_ivf_topk(spark, path, q, k=10, n_probes=2, exclude_id=2)
+        out = top.select("vec_id", F.round("cosine", EMB_ROUND).alias("cosine"))
+        return spark.createDataFrame(out.toPandas(), out.schema)  # outlive the temp dir
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end corpus funnel: quality gate -> exact dedup -> LSH
     near-dup candidates -> exact-Jaccard verification (>=0.8 on distinct
@@ -579,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_indexed": q_ann_lsh_indexed,
         "ann_lsh_probes": q_ann_lsh_probes,
+        "ann_ivf": q_ann_ivf,
         "corpus_prep": q_corpus_prep,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1323,6 +1347,35 @@ SELECT a.vec_id, round({_cos_q}, {EMB_ROUND}) AS cosine
 FROM bk a, q
 WHERE a.vec_id <> 2 AND a.bucket IN (SELECT b FROM probes)
 ORDER BY {_cos_q} DESC, a.vec_id
+LIMIT 10
+"""
+    # IVF-flat: deterministic seed centroids (C smallest vec_ids), argmax
+    # cosine assignment (FIRST max on ties = lowest centroid id), 2-probe
+    def _cosd(xa: str, ya: str) -> str:
+        return (
+            f"(list_reduce(list_transform(list_zip({xa}, {ya}), z -> z[1] * z[2]), (acc, u) -> acc + u)"
+            f" / (sqrt(list_reduce(list_transform({xa}, u -> u * u), (acc, u) -> acc + u))"
+            f" * sqrt(list_reduce(list_transform({ya}, w -> w * w), (acc, w) -> acc + w))))"
+        )
+
+    sqls["ann_ivf"] = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+sim AS (SELECT e.vec_id, c.cid, {_cosd('e.v', 'c.cv')} AS s FROM emb e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM sim) t
+  WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 2),
+qs AS (SELECT c.cid, {_cosd('c.cv', 'q.qv')} AS s FROM cent c, q),
+probes AS (SELECT cid FROM qs ORDER BY s DESC, cid LIMIT 2)
+SELECT e.vec_id, round({_cosd('e.v', 'q.qv')}, {EMB_ROUND}) AS cosine
+FROM emb e JOIN asg ON asg.vec_id = e.vec_id, q
+WHERE e.vec_id <> 2 AND asg.cid IN (SELECT cid FROM probes)
+ORDER BY {_cosd('e.v', 'q.qv')} DESC, e.vec_id
 LIMIT 10
 """
     sqls["tpch_q1"] = f"""

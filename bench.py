@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "ann_lsh",
     "ann_lsh_probes",
+    "ann_ivf",
     "tpch_q1",
     "revenue_by_nation",
 ]

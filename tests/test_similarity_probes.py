@@ -20,3 +20,22 @@ def test_probe_buckets_ordering_and_shape():
         assert flipped == order[rank]  # ascending-margin flip order
     # probes=1 degenerates to the single exact bucket
     assert probe_buckets_py(vec, n_planes=8, probes=1) == [bucket]
+
+
+def test_kmeans_refine_converges_simple_clusters():
+    import numpy as np
+
+    from bgp_feature_extractor_spark.operators.similarity import kmeans_refine
+
+    rng = np.random.default_rng(7)
+    a = rng.normal([5, 0, 0], 0.05, (50, 3))
+    b = rng.normal([0, 5, 0], 0.05, (50, 3))
+    sample = np.vstack([a, b]).tolist()
+    # bad seeds: both from cluster a
+    seeds = [a[0].tolist(), a[1].tolist()]
+    out = np.array(kmeans_refine(sample, seeds, iters=8))
+    # refined centroids are unit-norm and split the two clusters
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-9)
+    cos_a = out @ (a.mean(0) / np.linalg.norm(a.mean(0)))
+    cos_b = out @ (b.mean(0) / np.linalg.norm(b.mean(0)))
+    assert (cos_a > 0.99).any() and (cos_b > 0.99).any()
