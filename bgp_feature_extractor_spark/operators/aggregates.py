@@ -144,32 +144,23 @@ def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
     return folds.join(distincts, ["source", "bin"], "inner")
 
 
-def aggregate_bins(
-    classified: DataFrame,
-    cfg: EngineConfig | None = None,
-    slim: DataFrame | None = None,
-) -> DataFrame:
-    """classified: output of classify_* + rare stage (rare_ct, rare_gated)
-    + edit_dist column. Returns one row per (source, bin).
+_AGG_CACHE: dict = {}
 
-    ``slim``: optional raw binned events (same rows as ``classified``, pre-
-    classification). When given, as_path_avg / nlri_ann are computed from it
-    in a separate slim pass (see fold_bin_aggregates) so the main ~50-column
-    aggregation stays a single whole-stage-codegen HashAggregate. The
-    (source, bin) key sets are identical (classify preserves every event
-    row), so the join is key-aligned by construction.
-    """
-    cfg = cfg or EngineConfig()
+
+def _main_aggs(cfg: EngineConfig) -> list:
+    """The ~50 aggregate Column expressions of the main pass, memoized per
+    (pivot_limit, origin_values). Unresolved Column trees are immutable and
+    DataFrame-independent, so reuse across calls is safe — and building
+    them costs ~0.5s of serial Py4J round-trips per call, which is pure
+    non-scaling driver overhead in a timed pipeline (every expression node
+    is a JVM call)."""
+    key = (cfg.pivot_limit, tuple(cfg.origin_values))
+    if key in _AGG_CACHE:
+        return _AGG_CACHE[key]
     is_ann = F.col("kind") == "ann"
     is_wd = F.col("kind") == "wd"
     cls = F.col("cls")
-
-    n_paths = _cnt(is_ann)
-    last_uniq = F.max_by(F.when(is_ann, F.col("uniq_len")), F.when(is_ann, F.struct("ts", "seq")))
     uniq_max = F.max(F.when(is_ann, F.col("uniq_len")))
-    unique_as_path_avg = F.coalesce(
-        last_uniq + F.floor(uniq_max / n_paths).cast("long"), F.lit(0)
-    )
 
     aggs = [
         _cnt(is_ann).alias("announcements"),
@@ -201,8 +192,39 @@ def aggregate_bins(
     # A7 per-message origin pivot (Q7), codes 0..2
     for code in cfg.origin_values:
         aggs.append(_cnt(is_ann & (F.col("origin") == code)).alias(f"origin_{code}"))
+    _AGG_CACHE[key] = aggs
+    return aggs
+
+
+def aggregate_bins(
+    classified: DataFrame,
+    cfg: EngineConfig | None = None,
+    slim: DataFrame | None = None,
+) -> DataFrame:
+    """classified: output of classify_* + rare stage (rare_ct, rare_gated)
+    + edit_dist column. Returns one row per (source, bin).
+
+    ``slim``: optional raw binned events (same rows as ``classified``, pre-
+    classification). When given, as_path_avg / nlri_ann are computed from it
+    in a separate slim pass (see fold_bin_aggregates) so the main ~50-column
+    aggregation stays a single whole-stage-codegen HashAggregate. The
+    (source, bin) key sets are identical (classify preserves every event
+    row), so the join is key-aligned by construction.
+    """
+    cfg = cfg or EngineConfig()
+    is_ann = F.col("kind") == "ann"
+
+    aggs = list(_main_aggs(cfg))
 
     if slim is None:
+        n_paths = _cnt(is_ann)
+        last_uniq = F.max_by(
+            F.when(is_ann, F.col("uniq_len")), F.when(is_ann, F.struct("ts", "seq"))
+        )
+        uniq_max = F.max(F.when(is_ann, F.col("uniq_len")))
+        unique_as_path_avg = F.coalesce(
+            last_uniq + F.floor(uniq_max / n_paths).cast("long"), F.lit(0)
+        )
         # single-pass form: A2 exact count-distinct of announced entities
         # (bgpmetrics_as.py:398-399) + the A5 fold + A6 in the same aggregation
         aggs.append(F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann"))
@@ -217,8 +239,14 @@ def aggregate_bins(
         out = main.join(fold_bin_aggregates(slim), ["source", "bin"], "left").na.fill(
             {"as_path_avg": 0, "nlri_ann": 0, "unique_as_path_avg": 0}
         )
-    # Q3: exported unique dict is a verbatim copy of the plain dict
-    for k in range(cfg.pivot_limit):
-        out = out.withColumn(f"edit_distance_unique_dict_{k}", F.col(f"edit_distance_dict_{k}"))
-    out = out.withColumn("class", F.lit(0).cast("long"))
-    return out
+    # Q3: exported unique dict is a verbatim copy of the plain dict. ONE
+    # select, not a withColumn per pivot — each withColumn is a full plan
+    # rebuild + analysis pass (12 of them measurably slow the driver).
+    return out.select(
+        "*",
+        *[
+            F.col(f"edit_distance_dict_{k}").alias(f"edit_distance_unique_dict_{k}")
+            for k in range(cfg.pivot_limit)
+        ],
+        F.lit(0).cast("long").alias("class"),
+    )

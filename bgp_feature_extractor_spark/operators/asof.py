@@ -116,11 +116,14 @@ def classify_window(
         F.col("origin").alias("origin"),
         F.coalesce(F.col("attrs_sig"), F.expr("map()")).alias("sig"),
     )
-    df = (
-        df.withColumn("prev_state", F.last(F.when(is_annlike, state), ignorenulls=True).over(wprev))
-        .withColumn("prev_kind", F.lag("kind").over(w))
-        .withColumn("ann_cnt_before", F.count(F.when(is_annlike, F.lit(1))).over(wprev))
-        .withColumn("wd_cnt_before", F.count(F.when(F.col("kind") == "wd", F.lit(1))).over(wprev))
+    # ONE select, not a withColumn chain: every withColumn re-analyzes the
+    # whole plan server-side (a Py4J round-trip + analysis pass each)
+    df = df.select(
+        "*",
+        F.last(F.when(is_annlike, state), ignorenulls=True).over(wprev).alias("prev_state"),
+        F.lag("kind").over(w).alias("prev_kind"),
+        F.count(F.when(is_annlike, F.lit(1))).over(wprev).alias("ann_cnt_before"),
+        F.count(F.when(F.col("kind") == "wd", F.lit(1))).over(wprev).alias("wd_cnt_before"),
     )
 
     known_before = F.col("prev_state").isNotNull()
@@ -162,14 +165,18 @@ def classify_window(
 
     compares = is_reann | is_nada_branch  # branches that invoke is_equal / edit distance
     prev_len = F.size(F.col("prev_state.tokens"))
+    n_tok = F.size("tokens")
     out = (
-        df.withColumn("cls", cls)
-        .withColumn("n_tok", F.size("tokens"))
-        .withColumn("uniq_len", F.size(F.array_distinct("tokens")))
-        .withColumn("to_longer", compares & (F.col("n_tok") > prev_len))
-        .withColumn("to_shorter", compares & (F.col("n_tok") < prev_len))
-        .withColumn("origin_changed", compares & origin_diff)
-        .withColumn("prev_tokens", F.when(compares, F.col("prev_state.tokens")))
+        df.select(
+            "*",
+            cls.alias("cls"),
+            n_tok.alias("n_tok"),
+            F.size(F.array_distinct("tokens")).alias("uniq_len"),
+            (compares & (n_tok > prev_len)).alias("to_longer"),
+            (compares & (n_tok < prev_len)).alias("to_shorter"),
+            (compares & origin_diff).alias("origin_changed"),
+            F.when(compares, F.col("prev_state.tokens")).alias("prev_tokens"),
+        )
         .filter(F.col("kind") != "snap")
         .select(*CLASSIFIED_COLS)
     )

@@ -35,13 +35,12 @@ def with_bin(
     df: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or EngineConfig()
-    return (
-        df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
-        .withColumn(
-            "bin",
-            ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size)).cast("long"),
-        )
-        .drop("first_ts")
+    joined = df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
+    return joined.select(
+        *[c for c in joined.columns if c != "first_ts"],
+        ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size))
+        .cast("long")
+        .alias("bin"),
     )
 
 
@@ -68,10 +67,10 @@ def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None 
     out = spine.join(per_bin, ["source", "bin"], "left")
     out = out.na.fill(0, [c for c in value_cols if c not in float_cols])
     out = out.na.fill(0.0, list(float_cols & set(value_cols)))
-    out = (
-        out.join(F.broadcast(firsts.select("source", "first_ts")), "source")
-        .withColumn("timestamp2", F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size))
-        .withColumn("timestamp", F.timestamp_seconds(F.col("timestamp2")))
-        .drop("first_ts")
+    ts2 = F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size)
+    joined = out.join(F.broadcast(firsts.select("source", "first_ts")), "source")
+    return joined.select(
+        *[c for c in joined.columns if c != "first_ts"],
+        ts2.alias("timestamp2"),
+        F.timestamp_seconds(ts2).alias("timestamp"),
     )
-    return out
