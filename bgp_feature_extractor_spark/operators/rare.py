@@ -158,7 +158,11 @@ def rare_counts_loop(
             if f < threshold:
                 rare += 1
         iteration += 1
-        if iteration % block == 0:
+        if iteration % block == 0 and freq:
+            # `and freq`: a block boundary with zero tokens seen (all paths
+            # so far empty) keeps the previous threshold — matches the
+            # vectorized kernel's guard; the reference would crash here
+            # (np.percentile of an empty table), unreachable on real data
             threshold = float(np.percentile(np.fromiter(freq.values(), dtype=np.int64), pctile))
         if iteration > block:
             rare_ct[i] = rare
