@@ -506,6 +506,47 @@ def rare_bins_from_events(
     )
 
 
+def _rare_event_kernel(cfg: EngineConfig):
+    block, pct = cfg.rare_block, cfg.rare_pctile
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "seq"], kind="stable").reset_index(drop=True)
+        toks = pdf["utokens"].to_numpy(dtype=object)
+        n = len(toks)
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.concatenate(list(toks)) if lens.sum() else np.zeros(0, dtype=np.int64)
+        rare, gated = rare_counts_from_flat(flat, lens, block, pct)
+        out = pd.DataFrame(
+            {
+                "source": pdf["source"].to_numpy()[gated],
+                "ts": pdf["ts"].to_numpy()[gated],
+                "seq": pdf["seq"].to_numpy()[gated],
+                "rare": rare[gated].astype(np.int64),
+            }
+        )
+        return out.astype(
+            {"source": str, "ts": np.int64, "seq": np.int64, "rare": np.int64}
+        )
+
+    return kernel
+
+
+def rare_events_fold(events: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Per-EVENT rare counts via the per-source Python fold (the reference's
+    process model; bit-identical to 'exact'): one row per gated announcement
+    ``(source, ts, seq, rare)`` — re-bin per width with
+    :func:`rare_bins_from_events`."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    slim = events.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    return slim.groupBy("source").applyInPandas(
+        _rare_event_kernel(cfg), RARE_EVENT_SCHEMA
+    )
+
+
 def resolve_rare_mode(cfg: EngineConfig, sizes: list[tuple[str, int]]) -> str:
     """Resolve 'auto' to a concrete mode from the per-source row counts.
 
@@ -632,34 +673,22 @@ def _block_merge_kernel(pctile: float):
     return kernel
 
 
-def rare_bin_aggregates_block(
-    classified_binned: DataFrame, cfg: EngineConfig | None = None
-) -> DataFrame:
-    """Salted, fully-parallel rare aggregates — the 10^12-row skew path
-    (north-star: "skewed sources are salted and re-merged").
+def _block_rare(slim: DataFrame, cfg: EngineConfig, *, per_event: bool) -> DataFrame:
+    """Shared 5-stage 'block' pipeline (physical shape + threshold-relaxation
+    contract documented on :func:`rare_bin_aggregates_block`).
 
-    Physical shape:
-      1. per-source path index (JVM window; the only per-source sort),
-         salt = p // rare_shard_paths -> (source, shard) keys;
-      2. PASS A (mapInArrow, parallel over shards): per-shard token counts
-         — compact (<= vocab rows/shard);
-      3. RE-MERGE (applyInPandas per source over the compact counts):
-         prefix-sums across shards -> per-(shard, tok) start counts +
-         frozen per-shard P20 thresholds. O(vocab x shards) regardless of
-         event count, so the serial fraction stays negligible at any SF;
-      4. PASS B (mapInArrow, parallel over shards): start rows are UNIONed
-         into the element stream ahead of each shard (state injection),
-         the kernel computes global occurrence = start + local cumcount,
-         flags rare (occ < thr), gates (p+1 >= rare_block), and emits
-         per-(shard, bin) partials;
-      5. final groupBy(source, bin) re-merges partials (sum/max/weighted
-         avg).
+    ``slim``: (source, ts, seq, utokens) announcement rows, plus ``bin``
+    when ``per_event=False``.
 
-    Threshold semantics are the documented relaxation of quirk Q5 (frozen
-    per shard, prior-shards-only — see rare_counts_block_loop); occurrence
-    indices and gating are identical to 'exact'. Zero leakage holds:
-    every threshold and occurrence uses strictly-prior paths."""
-    cfg = cfg or EngineConfig()
+    ``per_event=True`` makes the final pass emit one row per GATED
+    announcement ``(source, ts, seq, rare)`` instead of per-(shard, bin)
+    partials. The salted thresholds and occurrence indices depend only on
+    per-source path order — never on ``bin_size`` — so this form is
+    width-independent: a multi-width plan runs the three block-mode kernels
+    ONCE and re-bins the per-event values per width
+    (:func:`rare_bins_from_events`), instead of 6x the job's most
+    expensive stage in exactly the hot-source regime that selects 'block'
+    (VERDICT r3 #2)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from pyspark.sql import Window
@@ -667,14 +696,12 @@ def rare_bin_aggregates_block(
 
     S = cfg.rare_shard_paths
     block, pct = cfg.rare_block, cfg.rare_pctile
+    carry = ["ts", "seq"] if per_event else ["bin"]
 
-    slim = classified_binned.filter(
-        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
-    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
     wp = Window.partitionBy("source").orderBy("ts", "seq")
     paths = slim.select(
         "source",
-        "bin",
+        *carry,
         "utokens",
         (F.row_number().over(wp) - 1).alias("p"),
     ).withColumn("shard", F.floor(F.col("p") / S))
@@ -693,12 +720,14 @@ def rare_bin_aggregates_block(
 
     def pass_a(batches):
         # vectorized per-(source, shard) token counts: batches arrive sorted
-        # by (source, shard, p), so keys form contiguous runs
+        # by (source, shard, p), so keys form contiguous runs. Columns are
+        # resolved by NAME (the per-bin and per-event layouts differ).
         acc: dict[tuple, list] = {}
         for b in batches:
-            src = b.column(0).to_numpy(zero_copy_only=False)
-            shard = b.column(4).to_numpy(zero_copy_only=False)
-            toks = b.column(2)
+            nm = b.schema.names
+            src = b.column(nm.index("source")).to_numpy(zero_copy_only=False)
+            shard = b.column(nm.index("shard")).to_numpy(zero_copy_only=False)
+            toks = b.column(nm.index("utokens"))
             n = len(src)
             if n == 0:
                 continue
@@ -739,7 +768,7 @@ def rare_bin_aggregates_block(
         "source",
         "shard",
         F.col("p"),
-        F.col("bin"),
+        *carry,
         "utokens",
         F.lit(None).cast("long").alias("tok"),
         F.lit(None).cast("long").alias("start_cnt"),
@@ -750,7 +779,7 @@ def rare_bin_aggregates_block(
         "source",
         "shard",
         F.lit(None).cast("long").alias("p"),
-        F.lit(None).cast("long").alias("bin"),
+        *[F.lit(None).cast("long").alias(c) for c in carry],
         F.lit(None).cast("array<int>").alias("utokens"),
         "tok",
         "start_cnt",
@@ -763,15 +792,35 @@ def rare_bin_aggregates_block(
         .sortWithinPartitions("source", "shard", "marker", "p")
     )
 
-    out_schema = pa.schema(
-        [
-            ("source", pa.string()),
-            ("bin", pa.int64()),
-            ("rare_sum", pa.int64()),
-            ("rare_max", pa.int64()),
-            ("n_paths", pa.int64()),
-        ]
-    )
+    if per_event:
+        out_pa = pa.schema(
+            [
+                ("source", pa.string()),
+                ("ts", pa.int64()),
+                ("seq", pa.int64()),
+                ("rare", pa.int64()),
+            ]
+        )
+        out_spark = RARE_EVENT_SCHEMA
+    else:
+        out_pa = pa.schema(
+            [
+                ("source", pa.string()),
+                ("bin", pa.int64()),
+                ("rare_sum", pa.int64()),
+                ("rare_max", pa.int64()),
+                ("n_paths", pa.int64()),
+            ]
+        )
+        out_spark = T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("bin", T.LongType()),
+                T.StructField("rare_sum", T.LongType()),
+                T.StructField("rare_max", T.LongType()),
+                T.StructField("n_paths", T.LongType()),
+            ]
+        )
 
     def pass_b(batches):
         # buffers for the current (source, shard) group
@@ -781,8 +830,8 @@ def rare_bin_aggregates_block(
         s_thr = [0.0]
         e_flat: list[np.ndarray] = []
         e_lens: list[np.ndarray] = []
-        e_bin: list[np.ndarray] = []
         e_p: list[np.ndarray] = []
+        e_carry: dict[str, list[np.ndarray]] = {c: [] for c in carry}
 
         def flush():
             if cur is None or not e_lens:
@@ -793,8 +842,8 @@ def rare_bin_aggregates_block(
                 else np.zeros(0, dtype=np.int64)
             )
             lens = np.concatenate(e_lens)
-            bins_ = np.concatenate(e_bin)
             ps = np.concatenate(e_p)
+            cvals = {c: np.concatenate(e_carry[c]) for c in carry}
             # local post-increment occurrence within the shard (argsort trick)
             n_el = len(flat)
             occ = np.zeros(n_el, dtype=np.int64)
@@ -824,7 +873,18 @@ def rare_bin_aggregates_block(
             g = (ps + 1) >= block
             if not g.any():
                 return None
-            df = pd.DataFrame({"bin": bins_[g], "rare": rare[g]})
+            if per_event:
+                k = int(g.sum())
+                return pa.record_batch(
+                    [
+                        pa.array([cur[0]] * k, pa.string()),
+                        pa.array(cvals["ts"][g], pa.int64()),
+                        pa.array(cvals["seq"][g], pa.int64()),
+                        pa.array(rare[g], pa.int64()),
+                    ],
+                    schema=out_pa,
+                )
+            df = pd.DataFrame({"bin": cvals["bin"][g], "rare": rare[g]})
             a = df.groupby("bin")["rare"].agg(["sum", "max", "count"]).reset_index()
             return pa.record_batch(
                 [
@@ -834,19 +894,23 @@ def rare_bin_aggregates_block(
                     pa.array(a["max"], pa.int64()),
                     pa.array(a["count"], pa.int64()),
                 ],
-                schema=out_schema,
+                schema=out_pa,
             )
 
         for b in batches:
-            src = b.column(0).to_numpy(zero_copy_only=False)
-            shard = b.column(1).to_numpy(zero_copy_only=False)
-            pcol = b.column(2).to_numpy(zero_copy_only=False)
-            bncol = b.column(3).to_numpy(zero_copy_only=False)
-            toks = b.column(4)
-            tok = b.column(5).to_numpy(zero_copy_only=False)
-            start_cnt = b.column(6).to_numpy(zero_copy_only=False)
-            thrcol = b.column(7).to_numpy(zero_copy_only=False)
-            marker = b.column(8).to_numpy(zero_copy_only=False)
+            nm = b.schema.names
+            src = b.column(nm.index("source")).to_numpy(zero_copy_only=False)
+            shard = b.column(nm.index("shard")).to_numpy(zero_copy_only=False)
+            pcol = b.column(nm.index("p")).to_numpy(zero_copy_only=False)
+            carr = {
+                c: b.column(nm.index(c)).to_numpy(zero_copy_only=False)
+                for c in carry
+            }
+            toks = b.column(nm.index("utokens"))
+            tok = b.column(nm.index("tok")).to_numpy(zero_copy_only=False)
+            start_cnt = b.column(nm.index("start_cnt")).to_numpy(zero_copy_only=False)
+            thrcol = b.column(nm.index("thr")).to_numpy(zero_copy_only=False)
+            marker = b.column(nm.index("marker")).to_numpy(zero_copy_only=False)
             n = len(src)
             if n == 0:
                 continue
@@ -863,7 +927,8 @@ def rare_bin_aggregates_block(
                         yield rb
                     cur = key
                     s_tok, s_cnt, s_thr = [], [], [0.0]
-                    e_flat, e_lens, e_bin, e_p = [], [], [], []
+                    e_flat, e_lens, e_p = [], [], []
+                    e_carry = {c: [] for c in carry}
                 # start rows (marker -1) precede elements within the run
                 mk = marker[i:j]
                 n_start = int((mk == -1).sum())
@@ -879,29 +944,78 @@ def rare_bin_aggregates_block(
                         .to_numpy(zero_copy_only=False)
                         .astype(np.int64)
                     )
-                    e_bin.append(bncol[i + n_start : j].astype(np.int64))
                     e_p.append(pcol[i + n_start : j].astype(np.int64))
+                    for c in carry:
+                        e_carry[c].append(carr[c][i + n_start : j].astype(np.int64))
         rb = flush()
         if rb is not None:
             yield rb
 
-    partials = union.mapInArrow(
-        pass_b,
-        T.StructType(
-            [
-                T.StructField("source", T.StringType()),
-                T.StructField("bin", T.LongType()),
-                T.StructField("rare_sum", T.LongType()),
-                T.StructField("rare_max", T.LongType()),
-                T.StructField("n_paths", T.LongType()),
-            ]
-        ),
-    )
-    return partials.groupBy("source", "bin").agg(
+    out = union.mapInArrow(pass_b, out_spark)
+    if per_event:
+        return out
+    return out.groupBy("source", "bin").agg(
         F.sum("rare_sum").alias("number_rare_ases"),
         F.max("rare_max").alias("rare_ases_max"),
         (F.sum("rare_sum") / F.sum("n_paths")).alias("rare_ases_avg"),
     )
+
+
+def rare_bin_aggregates_block(
+    classified_binned: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Salted, fully-parallel rare aggregates — the 10^12-row skew path
+    (north-star: "skewed sources are salted and re-merged").
+
+    Physical shape (shared with :func:`rare_events_block` via _block_rare):
+      1. per-source path index (JVM window; the only per-source sort),
+         salt = p // rare_shard_paths -> (source, shard) keys;
+      2. PASS A (mapInArrow, parallel over shards): per-shard token counts
+         — compact (<= vocab rows/shard);
+      3. RE-MERGE (applyInPandas per source over the compact counts):
+         prefix-sums across shards -> per-(shard, tok) start counts +
+         frozen per-shard P20 thresholds. O(vocab x shards) regardless of
+         event count, so the serial fraction stays negligible at any SF;
+      4. PASS B (mapInArrow, parallel over shards): start rows are UNIONed
+         into the element stream ahead of each shard (state injection),
+         the kernel computes global occurrence = start + local cumcount,
+         flags rare (occ < thr), gates (p+1 >= rare_block), and emits
+         per-(shard, bin) partials;
+      5. final groupBy(source, bin) re-merges partials (sum/max/weighted
+         avg).
+
+    Threshold semantics are the documented relaxation of quirk Q5 (frozen
+    per shard, prior-shards-only — see rare_counts_block_loop); occurrence
+    indices and gating are identical to 'exact'. Zero leakage holds:
+    every threshold and occurrence uses strictly-prior paths."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    return _block_rare(slim, cfg, per_event=False)
+
+
+def rare_events_block(events: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Per-EVENT rare counts under the 'block' relaxation: one row per
+    gated announcement ``(source, ts, seq, rare)``.
+
+    Width-independent twin of :func:`rare_bin_aggregates_block` — same
+    three kernels (pass A counts, threshold re-merge, pass B occurrence
+    scan), no ``bin`` required on input; re-bin per width with
+    :func:`rare_bins_from_events`. Re-binned output is value-identical to
+    running rare_bin_aggregates_block on the same events pre-binned at
+    that width (tests/test_rare_kernel.py)."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    slim = events.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    return _block_rare(slim, cfg, per_event=True)
+
+
 
 
 THR_SCHEMA = T.StructType(
@@ -990,16 +1104,50 @@ def rare_bin_aggregates_dist(
     0..block*m-2 (m_min = (p+block+1)//block), path p uses level
     (p+1)//block, and stats gate at p+1 >= block."""
     cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    slim = classified_binned.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    per_path = _dist_rare_per_path(slim, cfg, ["bin"])
+    return per_path.groupBy("source", "bin").agg(
+        F.sum("rare").alias("number_rare_ases"),
+        F.max("rare").cast("long").alias("rare_ases_max"),
+        F.avg("rare").alias("rare_ases_avg"),
+    )
+
+
+def rare_events_dist(events: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Per-EVENT rare counts with exact Q5 semantics, fully distributed:
+    one row per gated announcement ``(source, ts, seq, rare)``.
+
+    Width-independent twin of :func:`rare_bin_aggregates_dist` (same
+    occurrence windows + threshold fold; the recurrence never depends on
+    ``bin_size``, VERDICT r3 #2) — re-bin per width with
+    :func:`rare_bins_from_events`."""
+    cfg = cfg or EngineConfig()
+    from pyspark.sql import functions as F
+
+    slim = events.filter(
+        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
+    ).select("source", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
+    per_path = _dist_rare_per_path(slim, cfg, ["ts", "seq"])
+    return per_path.select(
+        "source", "ts", "seq", F.col("rare").cast("long").alias("rare")
+    )
+
+
+def _dist_rare_per_path(slim: DataFrame, cfg: EngineConfig, carry: list[str]) -> DataFrame:
+    """Shared relational core of 'dist' mode: one row per GATED path
+    ``(source, p, *carry, rare)``. ``slim`` must have (source, ts, seq,
+    utokens); carry columns are passed through untouched."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     block = cfg.rare_block
-    slim = classified_binned.filter(
-        (F.col("kind") == "ann") & F.col("tokens").isNotNull()
-    ).select("source", "bin", "ts", "seq", F.array_distinct("tokens").alias("utokens"))
     wp = Window.partitionBy("source").orderBy("ts", "seq")
     paths = slim.select(
-        "source", "bin", "utokens", (F.row_number().over(wp) - 1).alias("p")
+        "source", *carry, "utokens", (F.row_number().over(wp) - 1).alias("p")
     )
     n_paths = paths.groupBy("source").agg(F.count(F.lit(1)).alias("n_paths"))
 
@@ -1026,14 +1174,9 @@ def rare_bin_aggregates_dist(
         .agg(F.count(F.lit(1)).alias("rare"))
     )
 
-    gated = paths.filter(F.col("p") + 1 >= block).select("source", "p", "bin")
-    per_path = gated.join(rare_per_path, ["source", "p"], "left").withColumn(
+    gated = paths.filter(F.col("p") + 1 >= block).select("source", "p", *carry)
+    return gated.join(rare_per_path, ["source", "p"], "left").withColumn(
         "rare", F.coalesce("rare", F.lit(0))
-    )
-    return per_path.groupBy("source", "bin").agg(
-        F.sum("rare").alias("number_rare_ases"),
-        F.max("rare").cast("long").alias("rare_ases_max"),
-        F.avg("rare").alias("rare_ases_avg"),
     )
 
 

@@ -33,6 +33,9 @@ from bgp_feature_extractor_spark.operators.rare import (
     rare_bin_aggregates_dist,
     rare_bin_aggregates_stream,
     rare_bins_from_events,
+    rare_events_block,
+    rare_events_dist,
+    rare_events_fold,
     rare_events_stream,
     resolve_rare_mode,
 )
@@ -136,6 +139,7 @@ def multi_width_matrices(
     snapshot: DataFrame | None = None,
     cfg: EngineConfig | None = None,
     widths: tuple[int, ...] = REFERENCE_TIMESCALES,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The reference's full run matrix: one feature matrix per timebin width
     (label_csv.py:302 ``timescales = ['1','5','10','15','60','120']`` — the
@@ -155,14 +159,20 @@ def multi_width_matrices(
     Persist note: ``classified+edit_dist`` and the per-event rare counts
     are persisted and eagerly materialized (one count() action each) so
     the six union branches all read the cache instead of racing to
-    recompute it inside one job; both are unpersisted by the caller's
-    session end (the returned DataFrame is lazy — see feature_matrix's
-    eagerness note). The per-bin aggregation, slim fold pass, spine and
-    fill still run per width, as they must."""
+    recompute it inside one job. The returned DataFrame is lazy, so this
+    function cannot unpersist them itself; pass ``caches`` (a list) to
+    receive every persisted frame (incl. the ``firsts`` cache) for
+    caller-controlled ``unpersist()`` once the result is consumed —
+    otherwise they stay cached until session end (ADVICE r3: repeated
+    calls in one long session would otherwise accumulate cached
+    partitions unboundedly). The per-bin aggregation, slim fold pass,
+    spine and fill still run per width, as they must."""
     import dataclasses
 
     cfg = cfg or EngineConfig()
     firsts = first_ts_per_source(events).cache()
+    if caches is not None:
+        caches.append(firsts)
     sizes: list[tuple[str, int]] = []
     if cfg.rare_mode in ("auto", "exact"):
         sizes = [
@@ -178,12 +188,29 @@ def multi_width_matrices(
         .persist()
     )
     dist.count()  # materialization barrier: the 6 branches share the cache
+    if caches is not None:
+        caches.append(dist)
     raw = events.select(*EVENT_COLS)
 
+    # The Q5 recurrence is width-independent in EVERY mode (widths only
+    # change the bin divisor) — each mode has a per-event twin that runs
+    # the kernel ONCE; the widths re-bin the persisted (source, ts, seq,
+    # rare) rows (VERDICT r3 #2: the previous plan re-ran the salted block
+    # kernel 6x in exactly the hot-source regime that selects 'block').
     rare_events = None
     if rare_mode == "exact":
-        rare_events = rare_events_stream(raw, cfg, sizes=sizes).persist()
+        rare_events = rare_events_stream(raw, cfg, sizes=sizes)
+    elif rare_mode == "block":
+        rare_events = rare_events_block(raw, cfg)
+    elif rare_mode == "dist":
+        rare_events = rare_events_dist(raw, cfg)
+    elif rare_mode == "fold":
+        rare_events = rare_events_fold(raw, cfg)
+    if rare_events is not None:
+        rare_events = rare_events.persist()
         rare_events.count()
+        if caches is not None:
+            caches.append(rare_events)
 
     out = None
     for w in widths:
@@ -193,12 +220,6 @@ def multi_width_matrices(
         per_bin = aggregate_bins(binned, wcfg, slim=raw_binned)
         if rare_events is not None:
             rare_pb = rare_bins_from_events(rare_events, firsts, wcfg)
-        elif rare_mode == "dist":
-            rare_pb = rare_bin_aggregates_dist(raw_binned, wcfg)
-        elif rare_mode == "block":
-            rare_pb = rare_bin_aggregates_block(raw_binned, wcfg)
-        elif rare_mode == "fold":
-            rare_pb = rare_bin_aggregates(raw_binned, wcfg)
         else:
             rare_pb = None
         per_bin = join_rare(per_bin, rare_pb)

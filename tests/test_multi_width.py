@@ -92,3 +92,43 @@ def test_multi_width_shares_classify(spark, dense_events):
     # cached dump repeats per scan, so require the live plan to contain no
     # MORE ArrowEvalPython mentions than the cached dumps account for.
     assert live.count("ArrowEvalPython") <= plan.count("InMemoryRelation")
+
+
+def test_multi_width_block_mode_shares_rare(spark, dense_events):
+    """VERDICT r3 #2: under rare_mode='block' (the hot-source regime that
+    'auto' escalates to at the 10^12-row target) the salted rare kernel
+    must run ONCE, not once per width. (a) values equal independent
+    per-width block-mode runs; (b) the block kernels (two MapInArrow
+    passes + the threshold re-merge fold) appear only inside the cached
+    rare_events subtree — no live re-execution in any width branch."""
+    # rare_shard_paths must be < paths/source or the fixture is one shard
+    # per source and the frozen prior-shards-only thresholds are all 0
+    cfg = dataclasses.replace(
+        EngineConfig(), rare_mode="block", rare_block=100, rare_shard_paths=500
+    )
+    caches: list = []
+    mw = multi_width_matrices(dense_events, None, cfg, widths=WIDTHS, caches=caches)
+    got_all = mw.toPandas()
+    for w in WIDTHS:
+        want = _sorted(
+            feature_matrix(
+                dense_events, None, dataclasses.replace(cfg, minutes_window=w)
+            ).toPandas()
+        )
+        got = _sorted(
+            got_all[got_all["minutes_window"] == w].drop(columns=["minutes_window"])
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # rare family must be exercised, or the sharing claim is vacuous
+    assert (got_all["number_rare_ases"] > 0).any()
+    plan = mw._jdf.queryExecution().executedPlan().toString()
+    live = "\n".join(ln for ln in plan.splitlines() if "InMemoryRelation" not in ln)
+    # each cached-relation dump repeats the kernels once; a live (re-run)
+    # kernel would push the count past what the dumps account for
+    n_dumps = plan.count("InMemoryRelation")
+    assert live.count("MapInArrow") <= 2 * n_dumps
+    assert live.count("FlatMapGroupsInPandas") <= n_dumps
+    # ADVICE r3: persisted frames are surfaced for caller-controlled cleanup
+    assert len(caches) == 3
+    for c in caches:
+        c.unpersist()
