@@ -27,6 +27,8 @@ import time
 BENCH_QUERIES = [
     "feature_matrix",
     "multi_width",
+    "multi_width_labeled",
+    "multi_width_rare",
     "rare_bins",
     "asof_classify",
     "sessionize",
@@ -43,11 +45,14 @@ BENCH_QUERIES = [
     "cosine_topk",
     "embedding_near_dup",
     "ann_lsh",
-    "ann_lsh_probes",
-    "ann_ivf",
     "tpch_q1",
     "revenue_by_nation",
 ]
+# The indexed-ANN entries are timed as separate build vs query components
+# (VERDICT r3 #5): the q_* driver entries embed a one-time index WRITE that
+# was ~90% of their former 5-6 s bench numbers and misread as serving
+# latency. The oracle-checked q_ entries still exist; the bench times the
+# two phases a real deployment sees.
 
 
 def _force(df) -> int:
@@ -123,6 +128,45 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             results[name] = round(time.perf_counter() - t0, 3)
+
+        # indexed ANN: build once, time build and query separately
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from bgp_feature_extractor_spark.operators import similarity as SIM
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [
+            r[0]
+            for r in emb.filter(F.col("vec_id") == 2)
+            .select(F.explode("embedding"))
+            .collect()
+        ]
+        ann_tmp = tempfile.mkdtemp(prefix="spark_graft_bench_ann_")
+        try:
+            t0 = time.perf_counter()
+            SIM.write_ann_index(emb, f"{ann_tmp}/lsh", n_planes=8)
+            results["ann_lsh_build"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _force(
+                SIM.ann_lsh_topk_indexed(
+                    spark, f"{ann_tmp}/lsh", qv, k=10, n_planes=8, exclude_id=2, probes=3
+                )
+            )
+            results["ann_lsh_probes_query"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            SIM.write_ivf_index(emb, f"{ann_tmp}/ivf", n_centroids=8, refine=True)
+            results["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _force(
+                SIM.ann_ivf_topk(
+                    spark, f"{ann_tmp}/ivf", qv, k=10, n_probes=2, exclude_id=2
+                )
+            )
+            results["ann_ivf_query"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(ann_tmp, ignore_errors=True)
 
     total = round(sum(results.values()), 3)
     print(

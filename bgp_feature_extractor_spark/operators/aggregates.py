@@ -154,9 +154,18 @@ def _main_aggs(cfg: EngineConfig) -> list:
     them costs ~0.5s of serial Py4J round-trips per call, which is pure
     non-scaling driver overhead in a timed pipeline (every expression node
     is a JVM call)."""
-    key = (cfg.pivot_limit, tuple(cfg.origin_values))
+    # Columns wrap py4j JVM references: key the cache on the live
+    # SparkContext too, so a session teardown + relaunch in one process
+    # doesn't serve stale gateway handles (ADVICE r3)
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app_id = sc.applicationId if sc is not None else None
+    key = (app_id, cfg.pivot_limit, tuple(cfg.origin_values))
     if key in _AGG_CACHE:
         return _AGG_CACHE[key]
+    for k in [k for k in _AGG_CACHE if k[0] != app_id]:
+        del _AGG_CACHE[k]  # drop dead handles from a previous context
     is_ann = F.col("kind") == "ann"
     is_wd = F.col("kind") == "wd"
     cls = F.col("cls")

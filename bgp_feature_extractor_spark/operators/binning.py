@@ -35,6 +35,10 @@ def with_bin(
     df: DataFrame, firsts: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or EngineConfig()
+    if "bin" in df.columns:
+        # replace semantics (ADVICE r3: the appending select would
+        # otherwise produce a duplicate, ambiguous 'bin' column)
+        df = df.drop("bin")
     joined = df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
     return joined.select(
         *[c for c in joined.columns if c != "first_ts"],
@@ -68,6 +72,7 @@ def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None 
     out = out.na.fill(0, [c for c in value_cols if c not in float_cols])
     out = out.na.fill(0.0, list(float_cols & set(value_cols)))
     ts2 = F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size)
+    out = out.drop("timestamp2", "timestamp")  # replace, never duplicate
     joined = out.join(F.broadcast(firsts.select("source", "first_ts")), "source")
     return joined.select(
         *[c for c in joined.columns if c != "first_ts"],

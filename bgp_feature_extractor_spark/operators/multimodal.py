@@ -161,12 +161,20 @@ def real_decode(payload: bytes, kind: str, meta) -> np.ndarray:
     uncompressed 24-bit BMP, 16-bit PCM WAV. Compressed formats
     (JPEG/PNG/MP3/MP4-class) genuinely need PIL/av, which this image
     lacks, and raise DecodeUnavailable."""
-    if payload[:2] == b"P6":
-        return _decode_ppm(payload)
-    if payload[:2] == b"BM":
-        return _decode_bmp(payload)
-    if payload[:4] == b"RIFF":
-        return _decode_wav(payload)
+    try:
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        if payload[:4] == b"RIFF":
+            return _decode_wav(payload)
+    except DecodeUnavailable:
+        raise
+    except (ValueError, struct.error, IndexError) as exc:
+        # truncated/corrupt payloads that pass the magic-byte sniff must
+        # surface as the documented fallback signal, not crash the
+        # executor task (ADVICE r3)
+        raise DecodeUnavailable(f"malformed {kind} payload: {exc}") from exc
     raise DecodeUnavailable(
         "payload is not PPM/BMP/WAV; compressed codecs (JPEG/PNG/MP4) "
         "require PIL/av — not available in this container"

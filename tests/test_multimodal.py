@@ -161,3 +161,20 @@ def test_real_decode_end_to_end_spark(spark):
 def test_real_decode_rejects_compressed():
     with pytest.raises(DecodeUnavailable):
         real_decode(b"\xff\xd8\xff\xe0JFIF....", "image", None)  # JPEG
+
+
+def test_real_decode_malformed_payloads_raise_decode_unavailable():
+    """ADVICE r3: payloads that pass the magic-byte sniff but are
+    truncated/corrupt must raise DecodeUnavailable (the documented
+    fallback signal), not leak ValueError/struct.error to the task."""
+    from bgp_feature_extractor_spark.operators.multimodal import real_decode
+
+    cases = [
+        (b"P6 10", "image"),                 # PPM header cut mid-token
+        (b"P6 2 2 255\n\x00\x01", "image"),  # PPM pixel data truncated
+        (b"BM\x01\x02", "image"),            # BMP header too short
+        (b"RIFF\x04\x00\x00\x00WAVE", "audio"),  # WAV with no chunks
+    ]
+    for payload, kind in cases:
+        with pytest.raises(DecodeUnavailable):
+            real_decode(payload, kind, None)

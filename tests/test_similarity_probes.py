@@ -39,3 +39,42 @@ def test_kmeans_refine_converges_simple_clusters():
     cos_a = out @ (a.mean(0) / np.linalg.norm(a.mean(0)))
     cos_b = out @ (b.mean(0) / np.linalg.norm(b.mean(0)))
     assert (cos_a > 0.99).any() and (cos_b > 0.99).any()
+
+
+def test_write_ivf_index_refine_balances_lists(spark, tmp_path):
+    """VERDICT r3 #4: refine=True trains the seed centroids on a sampled
+    driver-side k-means pass. On a clustered fixture whose first-C ids all
+    sit in ONE cluster, the unrefined build funnels most vectors into one
+    inverted list (hot partition — the n_probes/C prune buys nothing);
+    the refined build splits the clusters and balances the lists."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bgp_feature_extractor_spark.operators.similarity import write_ivf_index
+
+    rng = np.random.default_rng(3)
+    # 3 tight direction-clusters x 60 vectors; ids 0..2 all in cluster 0
+    centers = np.array([[8, 0, 0, 0], [0, 8, 0, 0], [0, 0, 8, 0]], dtype=float)
+    vecs = np.vstack([rng.normal(c, 0.05, (60, 4)) for c in centers])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def list_sizes(path):
+        df = spark.read.parquet(path)
+        return sorted(
+            r["n"] for r in df.groupBy("centroid").agg(F.count("*").alias("n")).collect()
+        )
+
+    p_raw = str(tmp_path / "ivf_raw")
+    p_ref = str(tmp_path / "ivf_ref")
+    write_ivf_index(emb, p_raw, n_centroids=3)
+    write_ivf_index(emb, p_ref, n_centroids=3, refine=True, sample_size=1000)
+    raw = list_sizes(p_raw)
+    ref = list_sizes(p_ref)
+    # unrefined: the three near-identical cluster-0 seeds are ~equidistant
+    # from every off-cluster vector, so noise scatters the two other
+    # clusters across all three lists — sizes off-balance AND no list
+    # corresponds to a cluster (seed noise decides assignments)
+    assert raw != [60, 60, 60]
+    # refined: one list per cluster, exactly balanced on this fixture
+    assert ref == [60, 60, 60]
