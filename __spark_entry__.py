@@ -296,34 +296,35 @@ def q_multi_width_labeled(spark, sf_dir):
     computation (multi_width_matrices' persisted frames) instead of six
     independent pipelines."""
     from bgp_feature_extractor_spark.operators.ratios import RATIO_DEFS
-    from bgp_feature_extractor_spark.plans.feature_matrix import (
-        REFERENCE_TIMESCALES,
-        multi_width_matrices,
-    )
+    from bgp_feature_extractor_spark.plans.feature_matrix import multi_width_matrices
     from bgp_feature_extractor_spark.plans.label_pipeline import labeled_ratio_dataset
 
-    # the unioned matrix is per-bin rows (tiny); persist it so the three
-    # references per width (filter, interval aggregate, label join) read
-    # the cache instead of re-running the per-width aggregation branches
-    m = (
-        multi_width_matrices(_doc_events(spark, sf_dir), None, CFG)
-        .drop(*RARE_COLS, "timestamp")
-        .persist()
+    # Width is DATA, not a plan branch: the ratio projections are
+    # row-wise and the derived interval groups by source, so the whole
+    # EP2 stage runs as ONE plan over the width-union keyed by
+    # (minutes_window, source) — one broadcast interval join, one ratio
+    # projection, one action. A per-width Python loop here cost ~6x the
+    # driver-side plan construction and a persist barrier for nothing.
+    m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG).drop(
+        *RARE_COLS, "timestamp"
     )
-    m.count()
-    out = None
-    for w in REFERENCE_TIMESCALES:
-        # the width filter constant-folds into the union branch for w; the
-        # shared persisted frames make each branch a cache re-read
-        mw = m.filter(F.col("minutes_window") == w).drop("minutes_window")
-        lab = labeled_ratio_dataset(mw, _doc_intervals(mw), CFG, pad=False)
-        lab = lab.select(
-            F.lit(w).alias("minutes_window"),
-            *RATIO_OUT_COLS,
-            *[F.round(F.col(n), EMB_ROUND).alias(n) for n, _, _ in RATIO_DEFS],
-        )
-        out = lab if out is None else out.unionByName(lab)
-    return out
+    iv = m.groupBy("minutes_window", "source").agg(
+        F.expr("min(timestamp2) + (max(timestamp2) - min(timestamp2)) div 3").alias(
+            "start_ts"
+        ),
+        F.expr("max(timestamp2) - (max(timestamp2) - min(timestamp2)) div 3").alias(
+            "end_ts"
+        ),
+        F.lit(1).cast("long").alias("label"),
+    )
+    lab = labeled_ratio_dataset(
+        m, iv, CFG, pad=False, keys=("minutes_window", "source")
+    )
+    return lab.select(
+        "minutes_window",
+        *RATIO_OUT_COLS,
+        *[F.round(F.col(n), EMB_ROUND).alias(n) for n, _, _ in RATIO_DEFS],
+    )
 
 
 def q_multi_width_rare(spark, sf_dir):

@@ -15,10 +15,16 @@ def label_intervals(
     intervals: DataFrame,
     label_col: str = "class",
     ts_col: str = "timestamp2",
+    keys: tuple[str, ...] = ("source",),
 ) -> DataFrame:
-    """class = label if start_ts <= timestamp2 <= end_ts else 0."""
-    iv = intervals.select("source", "start_ts", "end_ts", "label")
-    out = matrix.drop(label_col).join(F.broadcast(iv), "source", "left")
+    """class = label if start_ts <= timestamp2 <= end_ts else 0.
+
+    ``keys`` generalizes the join key beyond per-source intervals: the
+    multi-width dataset labels on ("minutes_window", "source") so ONE
+    broadcast join covers every width — width is data, not a plan branch.
+    """
+    iv = intervals.select(*keys, "start_ts", "end_ts", "label")
+    out = matrix.drop(label_col).join(F.broadcast(iv), list(keys), "left")
     out = out.withColumn(
         label_col,
         F.when(

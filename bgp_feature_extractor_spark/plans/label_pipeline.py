@@ -55,16 +55,22 @@ def labeled_ratio_dataset(
     cfg: EngineConfig | None = None,
     drop_dicts: bool = True,
     pad: bool = True,
+    keys: tuple[str, ...] = ("source",),
 ) -> DataFrame:
-    """The `ratios/dataset_*` variant (label_csv.py:245-250)."""
+    """The `ratios/dataset_*` variant (label_csv.py:245-250).
+
+    ``keys``: interval-join key. Pass ("minutes_window", "source") to
+    label a multi-width union in ONE plan instead of a per-width Python
+    loop (the ratio projections are row-wise, so width never needs to be
+    a separate plan branch)."""
     cfg = cfg or EngineConfig()
-    out = label_intervals(matrix, intervals)
+    out = label_intervals(matrix, intervals, keys=keys)
     out = add_ratio_columns(out)
     if drop_dicts:
         out = drop_edit_distance_columns(out)
     out = out.na.fill(0)
     if pad:
-        out = pad_to_batch_size(out, cfg.batch_size)
+        out = pad_to_batch_size(out, cfg.batch_size, partition_cols=keys)
     return out
 
 
