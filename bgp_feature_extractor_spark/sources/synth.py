@@ -23,6 +23,7 @@ def synth_events(
     seed: int = 42,
     hot_pct: int = 40,
     ts_scale: int = 1,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """hot_pct: share of rows carried by the single hot source (skew knob;
     40 = extreme hot-AS stress, 100//n_sources = uniform).
@@ -32,8 +33,20 @@ def synth_events(
     that is ~2 events per (source, bin), a degenerate rollup where output
     row count ~= bins x sources. Real BGP collectors see hundreds-to-
     thousands of updates per minute bin (the reference's slammer CSVs),
-    so scale benchmarks use ts_scale >> 1 for honest aggregation density."""
-    df = spark.range(n_rows).withColumnRenamed("id", "rid")
+    so scale benchmarks use ts_scale >> 1 for honest aggregation density.
+
+    n_partitions: generation parallelism, which becomes the written file
+    count. Each range partition is a CONTIGUOUS rid (= seq/ts) slice, so
+    the parquet delta encodings stay tight — a post-hoc round-robin
+    repartition of the same rows measured 26% larger on disk. Pass ~64
+    when writing a benchmark cache read at several core counts: a cache
+    written at local[4] is 4 one-row-group files whose scan cannot
+    parallelize past 4 tasks."""
+    if n_partitions:
+        df = spark.range(0, n_rows, numPartitions=n_partitions)
+    else:
+        df = spark.range(n_rows)
+    df = df.withColumnRenamed("id", "rid")
     h = lambda salt: F.pmod(F.xxhash64("rid", F.lit(seed), F.lit(salt)), F.lit(1 << 31))  # noqa: E731
     source = F.when(h(0) % 100 < hot_pct, F.lit("src0")).otherwise(
         F.concat(F.lit("src"), (1 + h(1) % (n_sources - 1)).cast("string"))

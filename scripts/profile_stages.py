@@ -51,16 +51,15 @@ def main():
         suffix += f"_s{n_sources}"
     if ts_scale != 1:
         suffix += f"_t{ts_scale}"
-    # 64-file layout: a cache written by a local[4] child lands as 4 files
-    # = 4 one-row-group scan splits, capping every raw-input scan at 4-way
-    # parallelism regardless of core count (measured: 12 of 16 planned
-    # splits empty). Real 100TB inputs are thousands of files; 64 keeps
-    # both parallelism levels scan-balanced.
-    path = f"{cache}/bench_events_{rows}{suffix}_f64.parquet"
+    # legacy 4-file layout, deliberately (see scaling_bench.py: the r4
+    # 64-file experiment sped the scan 2.5x but slowed the whole job --
+    # map-side combine density + branch overlap; kept for cross-round
+    # comparability)
+    path = f"{cache}/bench_events_{rows}{suffix}.parquet"
     if not os.path.isdir(path):
-        synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).repartition(
-            64
-        ).write.mode("overwrite").parquet(path)
+        synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).write.mode(
+            "overwrite"
+        ).parquet(path)
     ev = spark.read.parquet(path)
     cfg = EngineConfig()
 

@@ -61,16 +61,18 @@ if n_sources != 20:
     suffix += f"_s{n_sources}"
 if ts_scale != 1:
     suffix += f"_t{ts_scale}"
-# 64-file layout (r4): the old cache, written once by the local[N] child,
-# landed as N files = N one-row-group scan splits, so every raw-input scan
-# (classify, the slim agg pass, the rare kernel feed) ran N-way at BOTH
-# levels -- free at local[4], starving 12 of 16 cores at local[16]
-# (measured: 12 of 16 planned splits empty). A 100TB input is thousands
-# of files; 64 keeps both levels scan-balanced. Cache name carries _f64 so
-# old-layout rows are never silently compared against new-layout rows.
-path = f"%(repo)s/.bench-cache/bench_events_{rows}{suffix}_f64.parquet"
+# Input layout: the cache, written once by the local[N] child, lands as N
+# files = N one-row-group scan splits. An r4 experiment rewrote it as 64
+# seq-contiguous files (scan-only 2.5x faster at 16c: 1.16s -> 0.46s) but
+# the WHOLE job got ~15%% slower at 16c in an interleaved A/B: the fat
+# 4-task scan feeds map-side partial aggregation at much higher combine
+# density (each map task covers all ~170k (source,bin) groups ONCE), and
+# the scan is not on the critical path because the classify/rare branches
+# overlap it. Legacy layout retained -- also keeps the min-over-rounds
+# series comparable with r2/r3.
+path = f"%(repo)s/.bench-cache/bench_events_{rows}{suffix}.parquet"
 if not os.path.isdir(path):
-    synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).repartition(64).write.mode("overwrite").parquet(path)
+    synth_events(spark, rows, hot_pct=hot, n_sources=n_sources, ts_scale=ts_scale).write.mode("overwrite").parquet(path)
 ev = spark.read.parquet(path)
 def force(df): df.write.format("noop").mode("overwrite").save()
 rare_mode = os.environ.get("SPARK_GRAFT_RARE_MODE")
@@ -177,11 +179,6 @@ def main():
         "hot_pct": HOT_PCT,
         "n_sources": N_SOURCES, "ts_scale": TS_SCALE,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
-        # input layout marker: rows with this field read the 64-file cache
-        # (scan-balanced at both levels); rows without it read the legacy
-        # 4-file cache whose raw-input scans were capped at 4-way. Only
-        # compare mins within the same layout.
-        "input_files": 64,
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
         f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],
