@@ -305,6 +305,14 @@ def q_multi_width_labeled(spark, sf_dir):
     # (minutes_window, source) — one broadcast interval join, one ratio
     # projection, one action. A per-width Python loop here cost ~6x the
     # driver-side plan construction and a persist barrier for nothing.
+    #
+    # Measured dead end (r4): persisting the matrix union here (it feeds
+    # both the interval derivation and the labeled join) does NOT help —
+    # the expensive stages already sit behind multi_width_matrices'
+    # internal caches, so the duplicated subtree is only the cheap
+    # re-bin/re-agg, and the extra count() barrier serializes work the
+    # optimizer otherwise overlaps (interleaved A/B at sf0.1: persist
+    # min 18.9 s vs single-pass min 10.6 s).
     m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG).drop(
         *RARE_COLS, "timestamp"
     )
