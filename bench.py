@@ -128,6 +128,10 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             results[name] = round(time.perf_counter() - t0, 3)
+            # queries that persist internal frames (multi_width*) would
+            # otherwise leak cache into every later timing — each query's
+            # number must include ITS OWN cache population and nothing else
+            spark.catalog.clearCache()
 
         # indexed ANN: build once, time build and query separately
         import tempfile
