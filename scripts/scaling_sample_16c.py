@@ -10,9 +10,12 @@ window this host almost never grants — but ONE 16c sample needs only
 and takes a sample whenever the box looks instantaneously idle,
 sleeping otherwise:
 
-* gate on the RUNNABLE process count (/proc/loadavg field 4), which is
-  instantaneous, NOT the 1-minute loadavg, which lags a burst's end by
-  minutes — we pounce the moment external load stops;
+* gate on an instantaneous /proc/stat busy-core probe (0.4 s window),
+  NOT the 1-minute loadavg (lags a burst's end by minutes) and NOT the
+  runnable count in /proc/loadavg (namespace-filtered here: it showed
+  1-3 while /proc/stat measured 24 busy cores — the external load is
+  INVISIBLE as processes but fully visible in the global CPU counters);
+  we pounce the moment external load stops;
 * pause while the full interleaved watch is firing
   (.bench-cache/RUNNING) so the two instruments never contend;
 * record load before and after every sample so contended samples are
@@ -45,9 +48,19 @@ CACHE = os.path.join(os.path.dirname(HERE), ".bench-cache")
 OUT = os.path.join(CACHE, "sampler_16c.jsonl")
 
 
-def runnable() -> int:
-    # nth field of /proc/loadavg is "running/total"; running includes us
-    return int(open("/proc/loadavg").read().split()[3].split("/")[0])
+def _stat() -> tuple[int, int]:
+    vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+
+def busy_cores(window: float = 0.4, ncpu: int = 32) -> float:
+    """Instantaneous busy-core count from the GLOBAL CPU counters (sees
+    the host's external load, which is invisible as processes here)."""
+    t0, i0 = _stat()
+    time.sleep(window)
+    t1, i1 = _stat()
+    dt = max(t1 - t0, 1)
+    return (dt - (i1 - i0)) / dt * ncpu
 
 
 def load1() -> float:
@@ -67,19 +80,23 @@ def main():
     best = None
     while taken < MAX_SAMPLES and time.time() < t_end:
         # gate: watch not firing, and the box instantaneously idle
-        # (runnable <= 2 means at most one external runnable besides us)
-        if watch_firing() or runnable() > 2:
+        # (we are idle between samples, so busy cores ~= external load)
+        if watch_firing():
+            time.sleep(10)
+            continue
+        bc = busy_cores()
+        if bc > 2.0:
             time.sleep(5)
             continue
-        lp, rp = load1(), runnable()
+        lp = load1()
         dt = scaling_bench.one(child)
-        la = load1()
+        la, ba = load1(), busy_cores()
         row = {
             "mode": "16c_sampler", "cpus": CPUS, "rows": 8000000,
             "hot_pct": 5, "n_sources": 128, "ts_scale": 100,
-            "sec": round(dt, 3), "load_pre": round(lp, 2),
-            "runnable_pre": rp, "load_post": round(la, 2),
-            "ts": round(time.time(), 1),
+            "sec": round(dt, 3), "busy_pre": round(bc, 2),
+            "load_pre": round(lp, 2), "busy_post": round(ba, 2),
+            "load_post": round(la, 2), "ts": round(time.time(), 1),
         }
         with open(OUT, "a") as f:
             f.write(json.dumps(row) + "\n")
@@ -88,7 +105,7 @@ def main():
         if best is None or dt < best:
             best = dt
         print(f"sample {taken}: {dt:.2f}s (best {best:.2f}) "
-              f"pre={lp:.2f}/{rp} post={la:.2f}", flush=True)
+              f"busy_pre={bc:.2f} busy_post={ba:.2f}", flush=True)
         if since_restart >= RESTART_EVERY:
             try:
                 child.stdin.close(); child.wait(timeout=30)
