@@ -39,7 +39,9 @@ MAX_HOURS = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
 CPUS = 16
 # headline dense-profile config: 8M rows, hot 5%, 128 sources, ts_scale 100
 BENCH_ARGV = ["scaling_sample", "8000000", "4", "0", "5", "128", "100"]
-RESTART_EVERY = 60  # fresh child JVM periodically (GC/code-cache hygiene)
+RESTART_EVERY = 150  # fresh child JVM periodically (GC/code-cache hygiene;
+# kept high — the observed 16c minimum falls as the JVM warms over tens of
+# executions, so a warm child is worth more than a young heap)
 
 sys.argv = BENCH_ARGV
 import scaling_bench  # noqa: E402  (reuses CHILD/spawn with the argv above)
