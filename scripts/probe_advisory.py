@@ -29,8 +29,23 @@ CPUS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
 CONFS = {
-    "A_adv64m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m"},
-    "B_adv16m": {"spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m"},
+    "A_adv64m": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    },
+    "B_adv16m": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    },
+    # C: keep AQE (skew-join, empty-relation propagation) but do not let it
+    # coalesce below the engine's explicit 2x-cores shuffle sizing. The r3
+    # "disable AQE" rejection conflated coalescing with AQE's other wins
+    # (full AQE-off cost ~2s of bare stage launches on the empty-relation
+    # path at 4c); this arm separates them.
+    "C_coalesce_off": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
 }
 
 
