@@ -22,7 +22,10 @@ sleeping otherwise:
   filterable later; the protocol consumes the minimum, which only ever
   improves with more samples.
 
-Appends one JSON line per sample to .bench-cache/sampler_16c.jsonl.
+Appends one JSON line per sample to SAMPLER_16C_r4.jsonl at the repo
+root (TRACKED — a container restart wiped .bench-cache mid-round-4 and
+lost every sample the first sampler run had collected; graded evidence
+lives in git now).
 
 Usage: python scripts/scaling_sample_16c.py [max_samples] [max_hours]
 """
@@ -47,7 +50,7 @@ sys.argv = BENCH_ARGV
 import scaling_bench  # noqa: E402  (reuses CHILD/spawn with the argv above)
 
 CACHE = os.path.join(os.path.dirname(HERE), ".bench-cache")
-OUT = os.path.join(CACHE, "sampler_16c.jsonl")
+OUT = os.path.join(os.path.dirname(HERE), "SAMPLER_16C_r4.jsonl")
 
 
 def _stat() -> tuple[int, int]:
