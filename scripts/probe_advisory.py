@@ -46,6 +46,18 @@ CONFS = {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     },
+    # D: advisory just above the measured ~30MB shuffle-partition size.
+    # Merging any two partitions would exceed it, so the headline job
+    # keeps its 32 even tasks (same as C), but coalescing stays ON for
+    # stages that genuinely produce tiny partitions (selective filters,
+    # the rare branch's per-source frames). If D ~= C and both beat A,
+    # the straggler tail is the pair-merge and D is the adoptable
+    # default; if B < D the win would be something other than merge
+    # avoidance and needs re-profiling.
+    "D_adv32m": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    },
 }
 
 
