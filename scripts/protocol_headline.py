@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Compute the north-rule protocol headline from the tracked evidence.
+
+Protocol (defined round 2, held to by the round-3 verdict): the headline
+raw 4->16 scaling efficiency is
+
+    min(sec@4) / (4 * min(sec@16))
+
+over every exec-only dense-profile sample of the SAME job + input
+(8M rows, hot_pct=5, n_sources=128, ts_scale=100, rare_mode auto/block)
+across all rounds. Minima only improve with more samples, so the number
+is a lower bound on the quiet-machine efficiency; per-sample load
+columns keep contaminated samples identifiable but NOT excluded — the
+protocol consumes the min, not a filtered mean.
+
+Sources of 16c samples:
+  * SCALING_RUNS_r{2,3,4}.jsonl interleaved-watch rows (all_sec@4 /
+    all_sec@16 per row; rows tagged rare_mode "dist" or carrying
+    "input_files" are excluded — different job or input layout);
+  * SAMPLER_16C_r4.jsonl opportunistic single samples (same CHILD
+    code path, same cached input, exec-only timing).
+
+Prints one JSON line; run at round close to produce the BASELINE.md
+headline so the document can never drift from the data again (the r2
+and r3 verdicts each caught a stale hand-written headline).
+"""
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DENSE = {"rows": 8000000, "hot_pct": 5, "n_sources": 128, "ts_scale": 100}
+
+
+def dense_row(r):
+    if r.get("input_files"):  # excluded 64-file layout experiment
+        return False
+    if r.get("rare_mode") == "dist":  # different kernel, one-time row
+        return False
+    return all(r.get(k) == v for k, v in DENSE.items())
+
+
+def main():
+    s4, s16 = [], []
+    prov = {"watch_rows": 0, "sampler_rows": 0}
+    for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if not dense_row(r):
+                continue
+            prov["watch_rows"] += 1
+            s4 += r.get("all_sec@4", [r.get("sec@4")])
+            s16 += r.get("all_sec@16", [r.get("sec@16")])
+    sam = os.path.join(REPO, "SAMPLER_16C_r4.jsonl")
+    if os.path.exists(sam):
+        for line in open(sam):
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if dense_row(r) and r.get("cpus") == 16:
+                prov["sampler_rows"] += 1
+                s16.append(r["sec"])
+    s4 = [x for x in s4 if x]
+    s16 = [x for x in s16 if x]
+    m4, m16 = min(s4), min(s16)
+    out = {
+        "sec@4_min": m4,
+        "sec@16_min": m16,
+        "samples@4": len(s4),
+        "samples@16": len(s16),
+        "raw_efficiency": round(m4 / (4 * m16), 3),
+        "speedup": round(m4 / m16, 2),
+        "bar": 0.8,
+        "sec@16_needed_at_bar": round(m4 / (4 * 0.8), 2),
+        **prov,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
