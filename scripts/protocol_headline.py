@@ -38,6 +38,8 @@ def dense_row(r):
         return False
     if r.get("rare_mode") == "dist":  # different kernel, one-time row
         return False
+    if r.get("local_dirs", "/tmp") != "/tmp":  # tmpfs rows are their own series
+        return False
     return all(r.get(k) == v for k, v in DENSE.items())
 
 

@@ -179,6 +179,10 @@ def main():
         "hot_pct": HOT_PCT,
         "n_sources": N_SOURCES, "ts_scale": TS_SCALE,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
+        # shuffle-dir series tag: rows taken with tmpfs local dirs (the
+        # noisy-I/O-window series, round 4) are a SEPARATE series from the
+        # default /tmp rows — protocol minima never mix the two
+        "local_dirs": os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
         f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],
