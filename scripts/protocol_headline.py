@@ -81,6 +81,35 @@ def main():
         "sec@16_needed_at_bar": round(m4 / (4 * 0.8), 2),
         **prov,
     }
+    # Parallel tmpfs series (same job + input, SPARK_LOCAL_DIRS on
+    # /dev/shm, run in noisy-I/O windows where /tmp shuffle writes are
+    # throttled by foreign dirty-page pressure — SHUFFLEDIR_AB_r4.jsonl).
+    # Reported separately; NEVER mixed into the /tmp protocol minima.
+    t4, t16, winrun = [], [], []
+    for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if r.get("local_dirs", "/tmp") == "/tmp" or r.get("rare_mode") == "dist":
+                continue
+            if not all(r.get(k) == v for k, v in DENSE.items()):
+                continue
+            t4 += r.get("all_sec@4", [r.get("sec@4")])
+            t16 += r.get("all_sec@16", [r.get("sec@16")])
+            if r.get("scaling_efficiency"):
+                winrun.append(r["scaling_efficiency"])
+    if t4 and t16:
+        tm4, tm16 = min(t4), min(t16)
+        out["tmpfs_series"] = {
+            "sec@4_min": tm4,
+            "sec@16_min": tm16,
+            "samples@4": len(t4),
+            "samples@16": len(t16),
+            "raw_efficiency": round(tm4 / (4 * tm16), 3),
+            "within_run_efficiencies": winrun,
+        }
     print(json.dumps(out))
 
 
