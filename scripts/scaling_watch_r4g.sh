@@ -51,13 +51,26 @@ run_row() {  # run_row <outfile> [env VAR=...] -- args...
   [ -n "$r" ] && echo "$r" >> "$out"
 }
 
+quiet_probe() {  # retry the busy probe: the 16c sampler's ~16-20s execs
+  # look like foreign load to a single 0.4s probe, starving this watch
+  # of windows the sampler keeps winning. Three probes spread over ~40s
+  # straddle any single sampler exec; once we fire, RUNNING preempts
+  # the sampler until the cycle ends.
+  local i
+  for i in 1 2 3; do
+    B=$(busy_cores)
+    if python3 -c "exit(0 if float('$B') < 2.0 else 1)"; then return 0; fi
+    sleep 18
+  done
+  return 1
+}
+
 QUIET_CYCLE=0
 NOISY_CYCLE=0
 while true; do
   if paused; then sleep 60; continue; fi
-  B=$(busy_cores)
   L=$(load1)
-  if python3 -c "exit(0 if float('$B') < 2.0 else 1)"; then
+  if quiet_probe; then
     touch "$CACHE/RUNNING"
     if python3 -c "exit(0 if float('$L') < 4.0 else 1)"; then
       echo "$(date -u +%FT%T) quiet=$QUIET_CYCLE fire busy=$B load=$L" >> "$LOG"
