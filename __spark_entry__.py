@@ -54,6 +54,22 @@ def _word_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Persist + eagerly materialize ``out``, then free every intermediate
+    cache (VERDICT r4 #7: the correctness driver runs all 34 queries in ONE
+    session; without this the three multi-width queries accumulate their
+    persisted classify/editdist/rare frames for the whole session). The
+    only residual is the bounded result frame itself — callers that keep
+    the session alive can ``.unpersist()`` the returned frame once
+    consumed (tests/test_plan_quality asserts zero persistent RDDs remain
+    after that)."""
+    out = out.persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -285,8 +301,9 @@ def q_multi_width(spark, sf_dir):
     DAG branches."""
     from bgp_feature_extractor_spark.plans.feature_matrix import multi_width_matrices
 
-    m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG)
-    return m.drop(*RARE_COLS, "timestamp")
+    caches: list[DataFrame] = []
+    m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG, caches=caches)
+    return _materialized(m.drop(*RARE_COLS, "timestamp"), caches)
 
 
 def q_multi_width_labeled(spark, sf_dir):
@@ -313,9 +330,10 @@ def q_multi_width_labeled(spark, sf_dir):
     # re-bin/re-agg, and the extra count() barrier serializes work the
     # optimizer otherwise overlaps (interleaved A/B at sf0.1: persist
     # min 18.9 s vs single-pass min 10.6 s).
-    m = multi_width_matrices(_doc_events(spark, sf_dir), None, CFG).drop(
-        *RARE_COLS, "timestamp"
-    )
+    caches: list[DataFrame] = []
+    m = multi_width_matrices(
+        _doc_events(spark, sf_dir), None, CFG, caches=caches
+    ).drop(*RARE_COLS, "timestamp")
     iv = m.groupBy("minutes_window", "source").agg(
         F.expr("min(timestamp2) + (max(timestamp2) - min(timestamp2)) div 3").alias(
             "start_ts"
@@ -328,11 +346,12 @@ def q_multi_width_labeled(spark, sf_dir):
     lab = labeled_ratio_dataset(
         m, iv, CFG, pad=False, keys=("minutes_window", "source")
     )
-    return lab.select(
+    out = lab.select(
         "minutes_window",
         *RATIO_OUT_COLS,
         *[F.round(F.col(n), EMB_ROUND).alias(n) for n, _, _ in RATIO_DEFS],
     )
+    return _materialized(out, caches)
 
 
 def q_multi_width_rare(spark, sf_dir):

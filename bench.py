@@ -179,6 +179,11 @@ def main() -> None:
                 "metric": "feature_matrix_and_operator_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
+                # methodology marker (r4 verdict "What's wrong" #2): rows with
+                # different protocol strings are NOT comparable. r4 added
+                # clearCache between queries + split ANN build/query timing;
+                # r2/r3 rows predate both and carry no field.
+                "protocol": "clearCache-per-query+ann-split",
                 "queries": results,
                 "sf": sf_dir,
                 "cpus": int(cpus),

@@ -33,14 +33,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DENSE = {"rows": 8000000, "hot_pct": 5, "n_sources": 128, "ts_scale": 100}
 
 
-def dense_row(r):
+def series_row(r, medium="/tmp", rows=8000000):
+    """Shared filter for every series: same job, same input layout, same
+    shuffle medium. The input_files / dist exclusions apply to ALL media
+    (r4 advice: the tmpfs and size series previously skipped them)."""
     if r.get("input_files"):  # excluded 64-file layout experiment
         return False
     if r.get("rare_mode") == "dist":  # different kernel, one-time row
         return False
-    if r.get("local_dirs", "/tmp") != "/tmp":  # tmpfs rows are their own series
+    if r.get("advisory", "64m") != "64m":  # r5 AQE-advisory arm: own series
         return False
-    return all(r.get(k) == v for k, v in DENSE.items())
+    if r.get("local_dirs", "/tmp") != medium:
+        return False
+    return all(r.get(k) == v for k, v in dict(DENSE, rows=rows).items())
+
+
+def dense_row(r):
+    return series_row(r, medium="/tmp", rows=8000000)
 
 
 def main():
@@ -57,8 +66,7 @@ def main():
             prov["watch_rows"] += 1
             s4 += r.get("all_sec@4", [r.get("sec@4")])
             s16 += r.get("all_sec@16", [r.get("sec@16")])
-    sam = os.path.join(REPO, "SAMPLER_16C_r4.jsonl")
-    if os.path.exists(sam):
+    for sam in sorted(glob.glob(os.path.join(REPO, "SAMPLER_16C_r*.jsonl"))):
         for line in open(sam):
             line = line.strip()
             if not line:
@@ -69,6 +77,12 @@ def main():
                 s16.append(r["sec"])
     s4 = [x for x in s4 if x]
     s16 = [x for x in s16 if x]
+    if not s4 or not s16:
+        raise SystemExit(
+            "protocol_headline: no /tmp protocol samples match the dense "
+            f"profile {DENSE} — check SCALING_RUNS_r*.jsonl are present and "
+            "rows carry the expected config/local_dirs fields"
+        )
     m4, m16 = min(s4), min(s16)
     out = {
         "sec@4_min": m4,
@@ -92,9 +106,7 @@ def main():
             if not line:
                 continue
             r = json.loads(line)
-            if r.get("local_dirs", "/tmp") == "/tmp" or r.get("rare_mode") == "dist":
-                continue
-            if not all(r.get(k) == v for k, v in DENSE.items()):
+            if not series_row(r, medium="/dev/shm/spark-graft-local", rows=8000000):
                 continue
             t4 += r.get("all_sec@4", [r.get("sec@4")])
             t16 += r.get("all_sec@16", [r.get("sec@16")])
@@ -110,6 +122,30 @@ def main():
             "raw_efficiency": round(tm4 / (4 * tm16), 3),
             "within_run_efficiencies": winrun,
         }
+    # r5 AQE-advisory arm (judge r4 #1a): same job + input, children run
+    # with a non-default advisoryPartitionSizeInBytes. Reported as
+    # within-run efficiencies only — each row is self-consistent (both
+    # levels share the config) but the arm never feeds cross-run minima.
+    adv_rows = []
+    for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if r.get("advisory", "64m") == "64m" or r.get("rare_mode") == "dist":
+                continue
+            if not all(r.get(k) == v for k, v in DENSE.items()):
+                continue
+            adv_rows.append({
+                "advisory": r["advisory"],
+                "local_dirs": r.get("local_dirs", "/tmp"),
+                "sec@4": r.get("sec@4"), "sec@16": r.get("sec@16"),
+                "within_run_efficiency": r.get("scaling_efficiency"),
+                "min_load": r.get("min_load"),
+            })
+    if adv_rows:
+        out["advisory_arm"] = adv_rows
     # Size-scaling series (round 4, watch rev h): the identical job at 4x
     # the input (32M rows) where the measured ~0.3-0.5 s non-scaling
     # per-execution constant is 4x smaller relative to work. Evidence for
@@ -117,7 +153,6 @@ def main():
     # plan-bound: raw efficiency should RISE with input size if the plans
     # scale. Split by shuffle medium like the 8M series; never mixed into
     # the protocol minima.
-    BIG = dict(DENSE, rows=32000000)
     for medium, label in (("/tmp", "size_series_32m"), ("/dev/shm/spark-graft-local", "size_series_32m_tmpfs")):
         b4, b16, bwin = [], [], []
         for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
@@ -126,9 +161,7 @@ def main():
                 if not line:
                     continue
                 r = json.loads(line)
-                if r.get("local_dirs", "/tmp") != medium or r.get("rare_mode") == "dist":
-                    continue
-                if not all(r.get(k) == v for k, v in BIG.items()):
+                if not series_row(r, medium=medium, rows=32000000):
                     continue
                 b4 += r.get("all_sec@4", [r.get("sec@4")])
                 b16 += r.get("all_sec@16", [r.get("sec@16")])

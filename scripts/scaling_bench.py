@@ -55,7 +55,9 @@ from bgp_feature_extractor_spark.config import EngineConfig
 cpus = int(sys.argv[1]); rows = int(sys.argv[2]); hot = int(sys.argv[3])
 n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 20
 ts_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2*cpus)
+adv = os.environ.get("SPARK_GRAFT_ADVISORY")  # e.g. "16m"; unset = Spark 64m default
+extra = {"spark.sql.adaptive.advisoryPartitionSizeInBytes": adv} if adv else None
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=2*cpus, extra_conf=extra)
 suffix = "" if hot == 40 else f"_hot{hot}"
 if n_sources != 20:
     suffix += f"_s{n_sources}"
@@ -183,6 +185,11 @@ def main():
         # noisy-I/O-window series, round 4) are a SEPARATE series from the
         # default /tmp rows — protocol minima never mix the two
         "local_dirs": os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
+        # AQE coalescing advisory the children ran under; absent/64m = the
+        # Spark default every pre-r5 row used. A non-default advisory makes
+        # a row its own series for cross-run minima (within-run efficiency
+        # is always self-consistent: both levels share the config)
+        "advisory": os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
         f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],

@@ -22,8 +22,8 @@ sleeping otherwise:
   filterable later; the protocol consumes the minimum, which only ever
   improves with more samples.
 
-Appends one JSON line per sample to SAMPLER_16C_r4.jsonl at the repo
-root (TRACKED — a container restart wiped .bench-cache mid-round-4 and
+Appends one JSON line per sample to SAMPLER_16C_r5.jsonl at the repo
+root (protocol_headline.py globs every round's file) (TRACKED — a container restart wiped .bench-cache mid-round-4 and
 lost every sample the first sampler run had collected; graded evidence
 lives in git now).
 
@@ -50,7 +50,7 @@ sys.argv = BENCH_ARGV
 import scaling_bench  # noqa: E402  (reuses CHILD/spawn with the argv above)
 
 CACHE = os.path.join(os.path.dirname(HERE), ".bench-cache")
-OUT = os.path.join(os.path.dirname(HERE), "SAMPLER_16C_r4.jsonl")
+OUT = os.path.join(os.path.dirname(HERE), "SAMPLER_16C_r5.jsonl")
 
 
 def _stat() -> tuple[int, int]:
@@ -102,6 +102,9 @@ def main():
             "sec": round(dt, 3), "busy_pre": round(bc, 2),
             "load_pre": round(lp, 2), "busy_post": round(ba, 2),
             "load_post": round(la, 2), "ts": round(time.time(), 1),
+            # shuffle medium the child inherited — without this a sampler
+            # started in a tmpfs shell would pollute the /tmp protocol series
+            "local_dirs": os.environ.get("SPARK_LOCAL_DIRS", "/tmp"),
         }
         with open(OUT, "a") as f:
             f.write(json.dumps(row) + "\n")

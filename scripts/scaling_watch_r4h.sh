@@ -9,11 +9,13 @@
 # 4x the input (32M rows) where the constant is 4x smaller relative to
 # work, and report the size trend. Rev h therefore alternates per fired
 # window:
-#   even cycles -> the 8M protocol pair (keeps chasing the cross-round
-#                  /tmp minimum; series unchanged);
-#   odd cycles  -> the 32M pair (rounds=2, extra 16c=2 to fit a window;
-#                  its rows are a SEPARATE series keyed rows=32000000 —
-#                  protocol_headline.py summarizes it as size_series).
+#   even cycles -> the 32M pair (rounds=2, extra 16c=2 to fit a window;
+#                  started empty so it gets priority — see the inline
+#                  '32M first' comment at the dispatch; its rows are a
+#                  SEPARATE series keyed rows=32000000, summarized by
+#                  protocol_headline.py as size_series);
+#   odd cycles  -> the 8M protocol pair (keeps chasing the cross-round
+#                  /tmp minimum; series unchanged).
 # Signature dispatch carried from rev g:
 #   * CPU component (busy cores > 2): sleep.
 #   * I/O component (busy < 2, loadavg high): tmpfs local dirs.
