@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bgp_feature_extractor_spark.config import EngineConfig, golden_columns
 from bgp_feature_extractor_spark.functions import text as TX
@@ -358,33 +359,54 @@ def q_multi_width_rare(spark, sf_dir):
     """The multi-width rare sharing, value-checked (VERDICT r3 #6): ONE
     per-event Q5 recurrence (rare_block=10 so the warm-up gate opens at
     the driver's SF) re-binned at widths {1, 5} — the exact frame
-    multi_width_matrices persists and re-bins internally."""
+    multi_width_matrices persists and re-bins internally.
+
+    Second arm (VERDICT r4 #4): the SAME widths under rare_mode='block'
+    (rare_shard_paths=10 so the fixture's ~20 paths per source span two
+    shards and the frozen threshold is nonzero for shard 1), unioned with
+    a rare_mode column — so the driver value-checks the exact→block
+    relaxation boundary itself, not just exact. The DuckDB twin expresses
+    the block contract relationally (threshold frozen at shard starts over
+    completed-shard counts only; occ still global post-increment — the
+    transliteration of operators/rare.rare_counts_block_loop)."""
     import dataclasses
 
     from bgp_feature_extractor_spark.operators.binning import first_ts_per_source
     from bgp_feature_extractor_spark.operators.rare import (
         rare_bins_from_events,
+        rare_events_block,
         rare_events_stream,
     )
 
     ev = _doc_events(spark, sf_dir)
     cfg = dataclasses.replace(CFG, rare_block=10)
     firsts = first_ts_per_source(ev).cache()
-    rev = rare_events_stream(ev, cfg).persist()
-    rev.count()  # barrier: both width branches read the cache
+    arms = [
+        ("exact", rare_events_stream(ev, cfg).persist()),
+        (
+            "block",
+            rare_events_block(
+                ev, dataclasses.replace(cfg, rare_shard_paths=10)
+            ).persist(),
+        ),
+    ]
+    for _, rev in arms:
+        rev.count()  # barrier: both width branches read the cache
     out = None
-    for w in (1, 5):
-        wcfg = dataclasses.replace(cfg, minutes_window=w)
-        pb = rare_bins_from_events(rev, firsts, wcfg).select(
-            F.lit(w).alias("minutes_window"),
-            "source",
-            "bin",
-            "number_rare_ases",
-            "rare_ases_max",
-            F.round("rare_ases_avg", EMB_ROUND).alias("rare_ases_avg"),
-        )
-        out = pb if out is None else out.unionByName(pb)
-    return out
+    for mode, rev in arms:
+        for w in (1, 5):
+            wcfg = dataclasses.replace(cfg, minutes_window=w)
+            pb = rare_bins_from_events(rev, firsts, wcfg).select(
+                F.lit(mode).alias("rare_mode"),
+                F.lit(w).alias("minutes_window"),
+                "source",
+                "bin",
+                "number_rare_ases",
+                "rare_ases_max",
+                F.round("rare_ases_avg", EMB_ROUND).alias("rare_ases_avg"),
+            )
+            out = pb if out is None else out.unionByName(pb)
+    return _materialized(out, [firsts, *(rev for _, rev in arms)])
 
 
 def q_csv_round_trip(spark, sf_dir):
@@ -671,6 +693,135 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# streaming twins (SURVEY §2.12), driven END-TO-END through a memory sink
+# (VERDICT r4 #3: lift the pytest-only batch-equivalence into the driver's
+# rows+schema+hash oracle gate)
+# --------------------------------------------------------------------------
+
+
+def _staged_stream_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Stage a testdata table into a multi-file directory so the file
+    streaming source can micro-batch it (readStream needs a directory, and
+    the staged write-time partitioning gives it several files = several
+    micro-batches, which actually exercises the state store across
+    triggers). Deterministic location per (sf_dir, table); written once."""
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench-cache",
+        "stream_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        table,
+    )
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        # 24 files vs maxFilesPerTrigger=8 => >=3 micro-batches, so the
+        # dedup state store is exercised ACROSS triggers, not within one
+        _t(spark, sf_dir, table).repartition(24).write.mode("overwrite").parquet(base)
+    return base
+
+
+def _drain_stream(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a finite streaming query to completion into a memory sink and
+    return the sink table. Driver-resident, but bounded: only dedup keys /
+    windowed aggregates flow through, never raw events."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """§2.12 streaming exact dedup end-to-end: readStream file source ->
+    md5 content keying -> watermark + dropDuplicates state store -> memory
+    sink (streaming/stream_features.stream_dedup_exact).
+
+    The oracle-checked projection is the distinct content-key SET. Which
+    doc_id survives per duplicated text is first-seen order — a function
+    of micro-batch file order, the standard streaming-dedup contract —
+    so it is deliberately not part of the deterministic comparison."""
+    from bgp_feature_extractor_spark.streaming.stream_features import (
+        read_document_stream,
+        stream_dedup_exact,
+    )
+
+    path = _staged_stream_dir(spark, sf_dir, "documents")
+    spark.catalog.dropTempView("stream_dedup_sink")
+    # watermark WIDER than the fixture's synthesized event-time span
+    # (event_ts = doc_id seconds): past-watermark state eviction would let
+    # a late duplicate re-emit (the documented streaming-dedup contract) —
+    # correct behavior, but it would make the distinct-set oracle flaky.
+    # Eviction-under-eviction is covered by tests/test_streaming.py.
+    deduped = stream_dedup_exact(read_document_stream(spark, path), watermark="365 days")
+    out = _drain_stream(deduped, "stream_dedup_sink", "append")
+    return out.select("content_key").orderBy("content_key")
+
+
+def q_stream_bin_counts(spark, sf_dir):
+    """§2.12 W1 streaming twin end-to-end: tumbling event-time windows with
+    a watermark over the events table, counters per bin
+    (streaming/stream_features.stream_bin_counts shape). Complete output
+    mode: on finite input the watermark never passes the last window, so
+    append would hold the tail back — complete emits every window.
+    count(DISTINCT) is unsupported in streaming aggs, so the batch twin's
+    n_users column is intentionally absent here."""
+    path = _staged_stream_dir(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    # staged files are NOT time-ordered (repartition shuffles rows), so a
+    # narrow watermark would drop "late" rows of later micro-batches; the
+    # 365d delay keeps every row while still exercising the watermarked
+    # stateful-agg path. Tight-watermark lateness is covered in pytest.
+    agg = (
+        ev.withWatermark("event_time", "365 days")
+        .groupBy(F.window("event_time", f"{BIN_S} seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchase"
+            ),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_error"
+            ),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    spark.catalog.dropTempView("stream_bins_sink")
+    out = _drain_stream(agg, "stream_bins_sink", "complete")
+    return out.select(
+        F.col("w.start").cast("long").alias("bin_start"),
+        "n_events",
+        "n_purchase",
+        "n_error",
+        "sum_value_cents",
+        "max_value",
+    ).orderBy("bin_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "event_bins": q_event_bins,
@@ -705,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_probes": q_ann_lsh_probes,
         "ann_ivf": q_ann_ivf,
         "corpus_prep": q_corpus_prep,
+        "stream_dedup": q_stream_dedup,
+        "stream_bin_counts": q_stream_bin_counts,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
     }
@@ -1191,6 +1344,21 @@ SELECT bin, count(*) AS n_events,
   max(value) AS max_value
 FROM e GROUP BY bin ORDER BY bin
 """
+    # streaming twins: the deterministic projections of q_stream_dedup /
+    # q_stream_bin_counts (dedup = distinct content-key set; bins = epoch-
+    # aligned tumbling windows, Spark's window() origin is 1970-01-01 UTC)
+    sqls["stream_dedup"] = """
+SELECT DISTINCT md5(text) AS content_key FROM documents ORDER BY content_key
+"""
+    sqls["stream_bin_counts"] = f"""
+SELECT (floor(epoch(ts))::BIGINT // {BIN_S}) * {BIN_S} AS bin_start,
+  count(*) AS n_events,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'error') AS n_error,
+  sum(round(value * 100)::BIGINT)::BIGINT AS sum_value_cents,
+  max(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
     sqls["event_bins_dense"] = f"""
 WITH e AS ({_EV}),
 agg AS (SELECT bin, count(*) AS n FROM e GROUP BY bin),
@@ -1342,11 +1510,67 @@ FROM binz GROUP BY 1, 2
 """
 
     sqls["rare_bins"] = _rare_bins_sql(CFG.bin_size)
-    # VERDICT r3 #6: the multi-width rare sharing, value-checked by the
-    # driver — ONE per-event recurrence re-binned at two widths, vs the
-    # same relational transliteration per width
+
+    # Block relaxation (VERDICT r4 #4): transliteration of
+    # operators/rare.rare_counts_block_loop — the threshold freezes at
+    # SHARD starts (every _bs paths) and sees only fully-completed prior
+    # shards' counts (e.i < _bs * k, no -1); occurrence index stays global
+    # post-increment; warm-up gate (i + 1 >= _rb) unchanged. Shard 0 has
+    # no prior counts -> threshold 0 -> rare = 0 (coalesce on the LEFT
+    # JOIN). quantile_cont = numpy linear percentile = _percentile_linear.
+    _bs = 10  # rare_shard_paths used by the driver arm
+
+    def _rare_block_sql(bin_size: int) -> str:
+        return f"""
+WITH ev AS ({_DOC_EV}),
+firsts AS (SELECT source, min(ts) AS first_ts FROM ev GROUP BY source),
+paths AS (
+  SELECT source, ts, list_distinct(tokens) AS utoks,
+         row_number() OVER (PARTITION BY source ORDER BY ts, seq) - 1 AS i
+  FROM ev WHERE kind = 'ann' AND tokens IS NOT NULL
+),
+np AS (SELECT source, max(i) AS max_i FROM paths GROUP BY source),
+ex AS (SELECT source, i, unnest(utoks) AS tok FROM paths),
+occ AS (
+  SELECT source, i, tok,
+         row_number() OVER (PARTITION BY source, tok ORDER BY i) AS occ
+  FROM ex
+),
+lv AS (SELECT source, unnest(range(1, max_i // {_bs} + 1)) AS k FROM np),
+snap AS (
+  SELECT l.source, l.k, e.tok, count(*) AS c
+  FROM lv l JOIN ex e ON e.source = l.source AND e.i < {_bs} * l.k
+  GROUP BY 1, 2, 3
+),
+thr AS (SELECT source, k, quantile_cont(c, {_rpct / 100.0}) AS thr FROM snap GROUP BY 1, 2),
+pr AS (
+  SELECT o.source, o.i, count(*) FILTER (WHERE o.occ < coalesce(t.thr, 0)) AS rare
+  FROM occ o
+  LEFT JOIN thr t ON t.source = o.source AND t.k = o.i // {_bs}
+  GROUP BY 1, 2
+),
+pp AS (
+  SELECT p.source, p.ts, coalesce(pr.rare, 0) AS rare
+  FROM paths p LEFT JOIN pr ON pr.source = p.source AND pr.i = p.i
+  WHERE p.i + 1 >= {_rb}
+),
+binz AS (
+  SELECT pp.source, (pp.ts - f.first_ts) // {bin_size} AS bin, pp.rare
+  FROM pp JOIN firsts f ON f.source = pp.source
+)
+SELECT source, bin,
+       sum(rare)::BIGINT AS number_rare_ases,
+       max(rare)::BIGINT AS rare_ases_max,
+       round(avg(rare), {EMB_ROUND}) AS rare_ases_avg
+FROM binz GROUP BY 1, 2
+"""
+
+    # VERDICT r3 #6 + r4 #4: the multi-width rare sharing, value-checked by
+    # the driver — ONE per-event recurrence per MODE re-binned at two
+    # widths, vs the per-(mode, width) relational transliterations
     sqls["multi_width_rare"] = "\nUNION ALL\n".join(
-        f"SELECT {w} AS minutes_window, r.* FROM ({_rare_bins_sql(60 * w)}) r"
+        f"SELECT '{mode}' AS rare_mode, {w} AS minutes_window, r.* FROM ({sql_fn(60 * w)}) r"
+        for mode, sql_fn in (("exact", _rare_bins_sql), ("block", _rare_block_sql))
         for w in (1, 5)
     )
     sqls["dedup_exact"] = """
