@@ -146,41 +146,43 @@ def main():
             })
     if adv_rows:
         out["advisory_arm"] = adv_rows
-    # Size-scaling series (round 4, watch rev h): the identical job at 4x
-    # the input (32M rows) where the measured ~0.3-0.5 s non-scaling
-    # per-execution constant is 4x smaller relative to work. Evidence for
+    # Size-scaling series (r4 rev h; generalized to 32/64/128M in r5): the
+    # identical job at 4x/8x/16x the input, where the measured ~0.3-0.5 s
+    # non-scaling per-execution constant shrinks proportionally. Evidence for
     # the claim that the proxy-scale efficiency is constant-bound, not
     # plan-bound: raw efficiency should RISE with input size if the plans
     # scale. Split by shuffle medium like the 8M series; never mixed into
     # the protocol minima.
-    for medium, label in (("/tmp", "size_series_32m"), ("/dev/shm/spark-graft-local", "size_series_32m_tmpfs")):
-        b4, b16, bwin = [], [], []
-        for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
-            for line in open(path):
-                line = line.strip()
-                if not line:
-                    continue
-                r = json.loads(line)
-                if not series_row(r, medium=medium, rows=32000000):
-                    continue
-                b4 += r.get("all_sec@4", [r.get("sec@4")])
-                b16 += r.get("all_sec@16", [r.get("sec@16")])
-                if r.get("scaling_efficiency"):
-                    bwin.append(r["scaling_efficiency"])
-        b4 = [x for x in b4 if x]
-        b16 = [x for x in b16 if x]
-        if b4 and b16:
-            bm4, bm16 = min(b4), min(b16)
-            out[label] = {
-                "rows": 32000000,
-                "sec@4_min": bm4,
-                "sec@16_min": bm16,
-                "samples@4": len(b4),
-                "samples@16": len(b16),
-                "raw_efficiency": round(bm4 / (4 * bm16), 3),
-                "rows_per_sec@16_min": round(32000000 / bm16, 1),
-                "within_run_efficiencies": bwin,
-            }
+    for nrows in (32_000_000, 64_000_000, 128_000_000):
+        for medium, suffix in (("/tmp", ""), ("/dev/shm/spark-graft-local", "_tmpfs")):
+            label = f"size_series_{nrows // 1_000_000}m{suffix}"
+            b4, b16, bwin = [], [], []
+            for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
+                for line in open(path):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    r = json.loads(line)
+                    if not series_row(r, medium=medium, rows=nrows):
+                        continue
+                    b4 += r.get("all_sec@4", [r.get("sec@4")])
+                    b16 += r.get("all_sec@16", [r.get("sec@16")])
+                    if r.get("scaling_efficiency"):
+                        bwin.append(r["scaling_efficiency"])
+            b4 = [x for x in b4 if x]
+            b16 = [x for x in b16 if x]
+            if b4 and b16:
+                bm4, bm16 = min(b4), min(b16)
+                out[label] = {
+                    "rows": nrows,
+                    "sec@4_min": bm4,
+                    "sec@16_min": bm16,
+                    "samples@4": len(b4),
+                    "samples@16": len(b16),
+                    "raw_efficiency": round(bm4 / (4 * bm16), 3),
+                    "rows_per_sec@16_min": round(nrows / bm16, 1),
+                    "within_run_efficiencies": bwin,
+                }
     print(json.dumps(out))
 
 
