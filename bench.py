@@ -182,8 +182,11 @@ def main() -> None:
                 # methodology marker (r4 verdict "What's wrong" #2): rows with
                 # different protocol strings are NOT comparable. r4 added
                 # clearCache between queries + split ANN build/query timing;
-                # r2/r3 rows predate both and carry no field.
-                "protocol": "clearCache-per-query+ann-split",
+                # r2/r3 rows predate both and carry no field. r5: the
+                # multi_width_rare QUERY grew a second (block-mode) arm and
+                # multi_width keeps its rare columns — those two entries do
+                # ~2x / +3-col the r4 work by design, not regression.
+                "protocol": "clearCache-per-query+ann-split+mwr-block-arm",
                 "queries": results,
                 "sf": sf_dir,
                 "cpus": int(cpus),

@@ -43,6 +43,11 @@ def series_row(r, medium="/tmp", rows=8000000):
         return False
     if r.get("advisory", "64m") != "64m":  # r5 AQE-advisory arm: own series
         return False
+    # r5: 64M runs use a 36g child heap (48g x2 OOMs the box at that size);
+    # the 8M protocol series stays 48g-only so its 3-round history is
+    # commensurable. Size-series rows accept any tagged heap.
+    if rows == 8000000 and r.get("driver_mem", "48g") != "48g":
+        return False
     if r.get("local_dirs", "/tmp") != medium:
         return False
     return all(r.get(k) == v for k, v in dict(DENSE, rows=rows).items())

@@ -190,6 +190,10 @@ def main():
         # a row its own series for cross-run minima (within-run efficiency
         # is always self-consistent: both levels share the config)
         "advisory": os.environ.get("SPARK_GRAFT_ADVISORY", "64m"),
+        # child JVM heap cap: the r5 64M run OOM-killed at the 48g default
+        # (2 children + leaked tmpfs shuffle > box RAM) and reran at 36g —
+        # heap size can shift timings, so rows carry it for comparability
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         f"sec@{N}": round(tn, 3), f"sec@{4*N}": round(t4n, 3),
         f"all_sec@{N}": [round(t, 2) for t in times[N]],
         f"all_sec@{4*N}": [round(t, 2) for t in times[4 * N]],

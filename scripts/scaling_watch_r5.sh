@@ -70,8 +70,16 @@ ARGS_32M=(32000000 4 2 5 128 100 2)
 
 QUIET_CYCLE=0
 NOISY_CYCLE=0
+sweep_shm() {
+  # tmpfs shuffle dirs leaked by timeout-killed JVMs are RAM: a round-5
+  # 64M run OOM-killed at 37G RSS while 21G of stale blockmgr-* sat in
+  # /dev/shm. Anything older than the 2400s run timeout is dead.
+  find "$SHMDIR" -mindepth 1 -maxdepth 1 -mmin +45 -exec rm -rf {} + 2>/dev/null
+}
+
 while true; do
   if paused; then sleep 60; continue; fi
+  sweep_shm
   if quiet_probe; then
     # re-read loadavg NOW: quiet_probe may have slept ~40s and the pre-probe
     # value is stale; the /tmp-vs-tmpfs dispatch must use the live signal
