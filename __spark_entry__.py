@@ -718,7 +718,12 @@ def _staged_stream_dir(spark: SparkSession, sf_dir: str, table: str) -> str:
         os.path.basename(sf_dir.rstrip("/")),
         table,
     )
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    marker = os.path.join(base, "_SUCCESS")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(marker)
+    )
+    if stale:
         # 24 files vs maxFilesPerTrigger=8 => >=3 micro-batches, so the
         # dedup state store is exercised ACROSS triggers, not within one
         _t(spark, sf_dir, table).repartition(24).write.mode("overwrite").parquet(base)
