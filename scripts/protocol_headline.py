@@ -43,6 +43,8 @@ def series_row(r, medium="/tmp", rows=8000000):
         return False
     if r.get("advisory", "64m") != "64m":  # r5 AQE-advisory arm: own series
         return False
+    if r.get("timed", "exec_only") != "exec_only":  # r5 exec-batch arm
+        return False
     # r5: 64M runs use a 36g child heap (48g x2 OOMs the box at that size);
     # the 8M protocol series stays 48g-only so its 3-round history is
     # commensurable. Size-series rows accept any tagged heap.
@@ -151,6 +153,32 @@ def main():
             })
     if adv_rows:
         out["advisory_arm"] = adv_rows
+    # r5 exec-batch arm (judge r4 #1b): same job + input, but each sample
+    # times B back-to-back executions and reports the per-exec mean, so the
+    # ~0.3-0.5s cluster-size-independent per-execution driver constant
+    # amortizes by 1/B. A documented protocol change — own series, never
+    # mixed into the exec_only minima above.
+    eb_rows = []
+    for path in sorted(glob.glob(os.path.join(REPO, "SCALING_RUNS_r*.jsonl"))):
+        for line in open(path):
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if r.get("timed", "exec_only") == "exec_only":
+                continue
+            if not all(r.get(k) == v for k, v in DENSE.items()):
+                continue
+            eb_rows.append({
+                "timed": r["timed"],
+                "advisory": r.get("advisory", "64m"),
+                "local_dirs": r.get("local_dirs", "/tmp"),
+                "sec@4": r.get("sec@4"), "sec@16": r.get("sec@16"),
+                "within_run_efficiency": r.get("scaling_efficiency"),
+                "min_load": r.get("min_load"),
+            })
+    if eb_rows:
+        out["exec_batch_arm"] = eb_rows
     # Size-scaling series (r4 rev h; generalized to 32/64/128M in r5): the
     # identical job at 4x/8x/16x the input, where the measured ~0.3-0.5 s
     # non-scaling per-execution constant shrinks proportionally. Evidence for

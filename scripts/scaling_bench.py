@@ -88,12 +88,21 @@ cfg = EngineConfig(rare_mode=rare_mode) if rare_mode else EngineConfig()
 # timed section (each write re-optimizes the cached analyzed plan).
 m = feature_matrix(ev, None, cfg)
 force(m)  # warm
+# Exec-batch arm (r4 verdict #1b): time BATCH back-to-back executions per
+# sample and report the per-exec mean, so the measured ~0.3-0.5s
+# cluster-size-independent per-execution driver constant (Catalyst
+# re-optimize + empty-job floor, scripts/probe_overhead.py) amortizes by
+# 1/BATCH. A protocol CHANGE vs the exec_only series -- rows are tagged
+# timed=exec{B}_mean and NEVER feed the cross-round exec_only minima.
+batch = int(os.environ.get("SPARK_GRAFT_EXEC_BATCH", "1"))
 print("READY", flush=True)
 for line in sys.stdin:
     if line.strip() != "go":
         break
-    t0 = time.perf_counter(); force(m)
-    print(f"T {time.perf_counter() - t0:.3f}", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(batch):
+        force(m)
+    print(f"T {(time.perf_counter() - t0) / batch:.3f}", flush=True)
 '''
 
 
@@ -177,7 +186,12 @@ def main():
     ceiling = _burn_ceiling(N)
     print(json.dumps({
         "rows": ROWS, "n": N, "4n": 4 * N, "rounds": ROUNDS, "extra_4n": EXTRA_4N,
-        "timed": "exec_only",  # plan built once per child; see CHILD comment
+        # exec_only: plan built once per child, each sample times ONE
+        # execution; exec{B}_mean: each sample is the mean of B back-to-back
+        # executions (per-exec driver constant amortized -- own series)
+        "timed": "exec_only" if os.environ.get(
+            "SPARK_GRAFT_EXEC_BATCH", "1") == "1"
+        else f"exec{os.environ['SPARK_GRAFT_EXEC_BATCH']}_mean",
         "hot_pct": HOT_PCT,
         "n_sources": N_SOURCES, "ts_scale": TS_SCALE,
         "rare_mode": os.environ.get("SPARK_GRAFT_RARE_MODE", "auto"),
