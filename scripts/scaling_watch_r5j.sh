@@ -1,0 +1,113 @@
+#!/usr/bin/env bash
+# Round-5 scaling watch, rev j. Changes vs rev i:
+#   * size-series arms (32M) run children at SPARK_GRAFT_DRIVER_MEM=36g —
+#     two 48g JVMs + in-flight tmpfs shuffle OOM-killed the 16c child
+#     twice (64M earlier this round, 32M today at anon-rss 38.7G; rows
+#     carry driver_mem so the series stays auditable);
+#   * the noisy rotation gains a fourth arm: the exec-batch B=3 pair
+#     (r4 verdict #1b — per-exec driver constant amortized; rows tagged
+#     timed=exec3_mean, own series in protocol_headline, never fed to the
+#     exec_only minima).
+# Carried from rev i: post-probe loadavg re-read, tracked outputs,
+# signature dispatch (CPU-busy -> sleep; I/O-noisy -> tmpfs; quiet -> /tmp),
+# quiet cycles 2x 8M protocol pair then a 32M size row, stale-shm sweep.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CACHE="$REPO/.bench-cache"
+OUT="$REPO/SCALING_RUNS_r5.jsonl"
+QOUT="$REPO/BENCH_QUIET_r5.jsonl"
+LOG="$CACHE/watch_r5.log"
+SHMDIR="/dev/shm/spark-graft-local"
+mkdir -p "$CACHE" "$SHMDIR"
+exec 9>"$CACHE/watch.lock"
+flock -n 9 || { echo "another watch holds the lock" >&2; exit 1; }
+
+paused() { [ -f "$CACHE/PAUSE" ]; }
+
+busy_cores() {
+  python3 - <<'EOF'
+import time
+def s():
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    return sum(v), v[3] + v[4]
+t0, i0 = s(); time.sleep(0.4); t1, i1 = s()
+dt = max(t1 - t0, 1)
+print(round((dt - (i1 - i0)) / dt * 32, 2))
+EOF
+}
+
+load1() { cut -d' ' -f1 /proc/loadavg; }
+
+run_row() {  # run_row <outfile> [env VAR=...] -- args...
+  local out="$1"; shift
+  local envs=()
+  while [ "$1" != "--" ]; do envs+=("$1"); shift; done
+  shift
+  local r
+  r=$(cd "$REPO" && env "${envs[@]:-_=_}" timeout 2400 \
+      python scripts/scaling_bench.py "$@" 2>>"$LOG" | tail -1)
+  [ -n "$r" ] && echo "$r" >> "$out"
+}
+
+quiet_probe() {  # three probes over ~40s straddle a sampler exec
+  local i
+  for i in 1 2 3; do
+    B=$(busy_cores)
+    if python3 -c "exit(0 if float('$B') < 2.0 else 1)"; then return 0; fi
+    sleep 18
+  done
+  return 1
+}
+
+ARGS_8M=(8000000 4 3 5 128 100 6)
+ARGS_32M=(32000000 4 2 5 128 100 2)
+
+QUIET_CYCLE=0
+NOISY_CYCLE=0
+sweep_shm() {
+  # tmpfs shuffle dirs leaked by timeout-killed JVMs are RAM: anything
+  # older than the 2400s run timeout is dead
+  find "$SHMDIR" -mindepth 1 -maxdepth 1 -mmin +45 -exec rm -rf {} + 2>/dev/null
+}
+
+while true; do
+  if paused; then sleep 60; continue; fi
+  sweep_shm
+  if quiet_probe; then
+    # re-read loadavg NOW: quiet_probe may have slept ~40s and the pre-probe
+    # value is stale; the /tmp-vs-tmpfs dispatch must use the live signal
+    L=$(load1)
+    touch "$CACHE/RUNNING"
+    if python3 -c "exit(0 if float('$L') < 4.0 else 1)"; then
+      # graded /tmp window: 8M protocol pair twice, then a 32M size row
+      if [ $((QUIET_CYCLE % 3)) -eq 2 ]; then
+        echo "$(date -u +%FT%T) quiet q=$QUIET_CYCLE 32m busy=$B load=$L" >> "$LOG"
+        run_row "$OUT" SPARK_GRAFT_DRIVER_MEM=36g -- "${ARGS_32M[@]}"
+      else
+        echo "$(date -u +%FT%T) quiet q=$QUIET_CYCLE 8m busy=$B load=$L" >> "$LOG"
+        run_row "$OUT" -- "${ARGS_8M[@]}"
+      fi
+      if [ $((QUIET_CYCLE % 3)) -eq 1 ] && ! paused; then
+        R=$(cd "$REPO" && SPARK_GRAFT_CPUS=32 timeout 1200 python bench.py 2>>"$LOG" | tail -1)
+        [ -n "$R" ] && echo "$R" >> "$QOUT"
+      fi
+      QUIET_CYCLE=$((QUIET_CYCLE + 1))
+    else
+      # noisy-I/O window: tmpfs arms rotate advisory / 32M size / default /
+      # exec-batch
+      case $((NOISY_CYCLE % 4)) in
+        0) echo "$(date -u +%FT%T) noisy n=$NOISY_CYCLE adv16m busy=$B load=$L" >> "$LOG"
+           run_row "$OUT" SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_ADVISORY=16m -- "${ARGS_8M[@]}" ;;
+        1) echo "$(date -u +%FT%T) noisy n=$NOISY_CYCLE 32m-rows busy=$B load=$L" >> "$LOG"
+           run_row "$OUT" SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_DRIVER_MEM=36g -- "${ARGS_32M[@]}" ;;
+        2) echo "$(date -u +%FT%T) noisy n=$NOISY_CYCLE default busy=$B load=$L" >> "$LOG"
+           run_row "$OUT" SPARK_LOCAL_DIRS="$SHMDIR" -- "${ARGS_8M[@]}" ;;
+        3) echo "$(date -u +%FT%T) noisy n=$NOISY_CYCLE exec3 busy=$B load=$L" >> "$LOG"
+           run_row "$OUT" SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_EXEC_BATCH=3 -- "${ARGS_8M[@]}" ;;
+      esac
+      NOISY_CYCLE=$((NOISY_CYCLE + 1))
+    fi
+    rm -f "$CACHE/RUNNING"
+  fi
+  sleep 120
+done
