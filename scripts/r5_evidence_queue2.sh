@@ -3,10 +3,14 @@
 #   1. combined exec3+16m 8M pair on tmpfs — both north-rule mitigations
 #      (driver-constant amortization + no AQE pair merges) together for
 #      the first time
-#   2. a 128M size row (36g heap, tmpfs shuffle) — caps the size-trend
+#   2. a third 64M size row at a 28g child heap — the 36g 16c child was
+#      OOM-killed at anon-rss 40.3G under foreign memory pressure (the
+#      box, not the heap, is the ceiling; rows carry driver_mem so the
+#      series stays auditable)
+#   3. a 128M size row (28g heap, tmpfs shuffle) — caps the size-trend
 #      series 8M -> 32M -> 64M -> 128M; input gen (~2.6 GB parquet) runs
 #      inside the child like every other size
-#   3. a second combined exec3+16m pair
+#   4. a second combined exec3+16m pair
 # Then removes PAUSE and starts the rev-k watch.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
@@ -54,7 +58,9 @@ echo "$(date -u +%FT%T) queue2 start" >> "$LOG"
 sweep; wait_quiet
 run 2400 SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_EXEC_BATCH=3 SPARK_GRAFT_ADVISORY=16m -- 8000000 4 2 5 128 100 4
 sweep; wait_quiet
-run 5400 SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_DRIVER_MEM=36g -- 128000000 4 1 5 128 100 2
+run 3600 SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_DRIVER_MEM=28g -- 64000000 4 1 5 128 100 3
+sweep; wait_quiet
+run 5400 SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_DRIVER_MEM=28g -- 128000000 4 1 5 128 100 2
 sweep; wait_quiet
 run 2400 SPARK_LOCAL_DIRS="$SHMDIR" SPARK_GRAFT_EXEC_BATCH=3 SPARK_GRAFT_ADVISORY=16m -- 8000000 4 2 5 128 100 4
 echo "$(date -u +%FT%T) queue2 done; starting rev-k watch" >> "$LOG"
