@@ -91,6 +91,10 @@ while true; do
         2) echo "$(date -u +%FT%T) quiet q=$QUIET_CYCLE 32m busy=$B load=$L" >> "$LOG"
            run_row "$OUT" SPARK_GRAFT_DRIVER_MEM=36g -- "${ARGS_32M[@]}" ;;
       esac
+      if [ $((QUIET_CYCLE % 3)) -eq 1 ] && ! paused; then
+        R=$(cd "$REPO" && SPARK_GRAFT_CPUS=32 timeout 1200 python bench.py 2>>"$LOG" | tail -1)
+        [ -n "$R" ] && echo "$R" >> "$QOUT"
+      fi
       QUIET_CYCLE=$((QUIET_CYCLE + 1))
     else
       # noisy-I/O window: tmpfs arms — combined exec3+16m leads the rotation
