@@ -146,6 +146,7 @@ def main():
                 continue
             adv_rows.append({
                 "advisory": r["advisory"],
+                "timed": r.get("timed", "exec_only"),
                 "local_dirs": r.get("local_dirs", "/tmp"),
                 "sec@4": r.get("sec@4"), "sec@16": r.get("sec@16"),
                 "within_run_efficiency": r.get("scaling_efficiency"),
