@@ -27,6 +27,7 @@ and r3 verdicts each caught a stale hand-written headline).
 import glob
 import json
 import os
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -217,7 +218,36 @@ def main():
                     "rows_per_sec@16_min": round(nrows / bm16, 1),
                     "within_run_efficiencies": bwin,
                 }
-    print(json.dumps(out))
+    if "--size-table" in sys.argv:
+        print(size_table(out))
+    else:
+        print(json.dumps(out))
+
+
+def size_table(out):
+    """Render the tmpfs size-trend series (8M -> 32M -> 64M) as a markdown
+    table, machine-derived from the same evidence rows as the JSON output
+    so BASELINE.md can quote it without hand-maintained drift."""
+    entries = []
+    ts = out.get("tmpfs_series")
+    if ts:
+        entries.append((8_000_000, ts))
+    for nrows in (32_000_000, 64_000_000, 128_000_000):
+        e = out.get(f"size_series_{nrows // 1_000_000}m_tmpfs")
+        if e:
+            entries.append((nrows, e))
+    lines = [
+        "| input rows | sec@4 (min) | sec@16 (min) | rows/s @16c | raw eff (cross-run) | within-run effs |",
+        "|---|---|---|---|---|---|",
+    ]
+    for nrows, e in entries:
+        rps = e.get("rows_per_sec@16_min", round(nrows / e["sec@16_min"], 1))
+        wins = ", ".join(f"{w:.3f}" for w in e.get("within_run_efficiencies", []))
+        lines.append(
+            f"| {nrows // 1_000_000}M | {e['sec@4_min']:.2f} | {e['sec@16_min']:.2f} "
+            f"| {rps:,.0f} | {e['raw_efficiency']:.3f} | {wins} |"
+        )
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
