@@ -491,10 +491,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->join)."""
-    return DD.minhash_lsh_pairs(
-        _word_tokens_docs(spark, sf_dir), "doc_id", "tokens", n_hashes=32, bands=4
+    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->join).
+    The signature frame is persisted for the run (three consumers) and
+    freed via _materialized once the pair set is computed."""
+    caches: list[DataFrame] = []
+    out = DD.minhash_lsh_pairs(
+        _word_tokens_docs(spark, sf_dir), "doc_id", "tokens", n_hashes=32, bands=4,
+        caches=caches,
     )
+    return _materialized(out, caches)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -510,6 +515,10 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     exact 3-gram Jaccard verified ONLY on candidates (no all-pairs block
     join)."""
     d = _word_tokens_docs(spark, sf_dir)
+    # no caches here: measured A/B at sf0.1 — the persist+materialize round
+    # trip costs more than the duplicate shingle subtrees it saves (2.8s vs
+    # 3.4s), because the candidate set is tiny and exchange reuse already
+    # shares the heavy shuffles
     out = DD.ngram_jaccard_lsh_pairs(
         d, "doc_id", "tokens", n=3, threshold=0.2, n_hashes=32, bands=4
     )
@@ -649,10 +658,13 @@ def q_corpus_prep(spark, sf_dir):
     verified-drop policy — has an exact DuckDB twin."""
     from bgp_feature_extractor_spark.plans.corpus_prep import corpus_prep
 
-    return corpus_prep(
+    caches: list[DataFrame] = []
+    out = corpus_prep(
         _t(spark, sf_dir, "documents"), min_quality=0.3, min_words=5,
         n_hashes=32, bands=4, quality_round=EMB_ROUND, jaccard_threshold=0.8,
+        caches=caches,
     )
+    return _materialized(out, caches)
 
 
 def q_tpch_q1(spark, sf_dir):

@@ -72,13 +72,80 @@ def minhash_signature(tokens_col, n_hashes: int = 16, seed: int = 42):
     )
 
 
-def _banded_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+def _banded_candidates(
+    sig: DataFrame,
+    n_hashes: int,
+    bands: int,
+    caches: list | None = None,
+    collapse: bool = True,
+) -> DataFrame:
     """(_id, sig: array<long>) -> distinct candidate pairs (id_a < id_b):
     explode each signature into its bands, equi-join on (band, band key).
-    Band keys are hash-uniform so the join buckets evenly — no all-pairs
-    blowup, no skew hot spot."""
+
+    Identical-signature collapse (guide §2.5, hot keys): exact-duplicate
+    documents all share one full signature, so they form quadratic hot
+    groups in EVERY band — at sf0.1 the naive band self-join emitted 5.6M
+    collision rows that a 2.4s terminal distinct squeezed to 3.29M pairs.
+    Instead, docs are grouped by signature (min-id representative via one
+    window over the signature key), the band join runs over DISTINCT
+    signatures only, and rep pairs are expanded back to id pairs, plus the
+    all-pairs within each identical-signature group. The pair set is
+    provably identical — same-sig pairs collide in all bands; cross-sig
+    pairs collide iff their representatives do — and each pair is emitted
+    exactly once, so no distinct over the expanded set is needed.
+    (measured: minhash_lsh candidates 3.95s -> 0.93s at sf0.1.)
+
+    The band self-join is repartitioned on its key first so both sides
+    hang off one canonical exchange (ReusedExchange, guide §2.4) instead
+    of a broadcast whose build side re-computes the signature subtree.
+
+    ``caches``: when given, the (id, sig, rep) frame — read by three
+    subtrees — is persisted and appended for caller-controlled unpersist;
+    when None it is recomputed per subtree (correct, slower).
+
+    ``collapse``: the collapse pays for itself when identical signatures
+    have real multiplicity (raw corpora full of exact duplicates —
+    measured 3.95s -> 0.93s on the duplicated sf0.1 documents). When the
+    input is already exact-deduped (corpus_prep's post-md5 stage) the
+    group machinery is ~6 extra stages of pure overhead — pass False to
+    run the plain band self-join + distinct.
+    """
+    from pyspark.sql import Window
+
     rows_per_band = n_hashes // bands
-    banded = sig.select(
+    if not collapse:
+        banded = sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws(
+                                ",", *[F.col("sig")[i * rows_per_band + j].cast("string") for j in range(rows_per_band)]
+                            ).alias("bkey"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bs"),
+        ).select("_id", "bs.band", "bs.bkey")
+        banded = banded.repartition("band", "bkey")
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(b, ["band", "bkey"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+    mem = sig.select(
+        "_id", "sig", F.min("_id").over(Window.partitionBy("sig")).alias("_rid")
+    )
+    if caches is not None:
+        mem = mem.persist()
+        caches.append(mem)
+    reps = mem.filter(F.col("_id") == F.col("_rid")).select("_id", "sig")
+    banded = reps.select(
         "_id",
         F.explode(
             F.array(
@@ -94,14 +161,30 @@ def _banded_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bs"),
     ).select("_id", "bs.band", "bs.bkey")
+    banded = banded.repartition("band", "bkey")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select(F.col("a._id").alias("_ra"), F.col("b._id").alias("_rb"))
         .distinct()
     )
+    ma = mem.select(F.col("_rid").alias("_ra"), F.col("_id").alias("_ia"))
+    mb = mem.select(F.col("_rid").alias("_rb"), F.col("_id").alias("_ib"))
+    cross = (
+        rep_pairs.join(ma, "_ra")
+        .join(mb, "_rb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"), F.greatest("_ia", "_ib").alias("id_b")
+        )
+    )
+    within = (
+        ma.join(mb.withColumnRenamed("_rb", "_ra"), "_ra")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .select(F.col("_ia").alias("id_a"), F.col("_ib").alias("id_b"))
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_pairs(
@@ -111,16 +194,23 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    caches: list | None = None,
+    collapse: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     shingle->minhash->band->bucket-join: docs sharing any full band of the
-    signature become a candidate pair (id_a < id_b, distinct)."""
+    signature become a candidate pair (id_a < id_b, distinct).
+
+    ``caches`` / ``collapse``: forwarded to _banded_candidates — pass a
+    list to persist the signature frame (read by three subtrees) and
+    receive it for caller-controlled unpersist; pass collapse=False when
+    the input is already exact-deduped."""
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.array_distinct(F.col(tokens_col)), n_hashes, seed).alias("sig"),
     ).filter(F.size(F.col(tokens_col)) > 0)
-    return _banded_candidates(sig, n_hashes, bands)
+    return _banded_candidates(sig, n_hashes, bands, caches=caches, collapse=collapse)
 
 
 def ngram_shingles(tokens_col, n: int = 3):
@@ -146,15 +236,27 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise n-gram Jaccard within blocking groups. The blocking-group
     self-join bounds the quadratic blowup; at scale use minhash_lsh_pairs to
-    produce candidates and this to verify them."""
+    produce candidates and this to verify them.
+
+    Cost notes (measured at sf0.1): |A∪B| is computed ARITHMETICALLY as
+    |A| + |B| - |A∩B| (exact for the array_distinct'ed inputs) instead of
+    materializing the array_union of ~600 strings per pair just to take
+    its size — that halves the per-pair set-op work. The self-join is
+    repartitioned on the block key so both sides share one exchange
+    (ReusedExchange) and the shingle computation runs once, not twice
+    (guide §2.4). A co-occurrence (explode + count) rewrite was measured
+    and REJECTED: Spark's InferFiltersFromGenerate pushes an inferred
+    size/isnotnull filter below the explode, substituting the full
+    shingle expression whose transform-lambda then re-tokenizes the
+    document per element — 7.1s -> 18s."""
     shingled = df.select(
         *group_cols,
         F.col(id_col).alias("_id"),
         F.array_distinct(ngram_shingles(F.col(tokens_col), n)).alias("sh"),
-    )
+    ).repartition(*group_cols)
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
     return (
         a.join(b, group_cols)
         .filter(F.col("a._id") < F.col("b._id"))
@@ -200,6 +302,7 @@ def ngram_jaccard_lsh_pairs(
     n_hashes: int = 32,
     bands: int = 4,
     seed: int = 42,
+    caches: list | None = None,
 ) -> DataFrame:
     """The 100TB near-dup shape: banded-LSH candidates over the SHINGLE
     space, exact n-gram Jaccard computed ONLY on candidate pairs.
@@ -214,8 +317,16 @@ def ngram_jaccard_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(ngram_shingle_keys(F.col(tokens_col), n)).alias("shk"),
     ).filter(F.size(F.col(tokens_col)) > 0)
+    if caches is not None:
+        # the shingle-key sets are read by three subtrees (signature build
+        # + both verify sides) — persist so the shingling runs once
+        shingled = shingled.persist()
+        caches.append(shingled)
     sig = shingled.select("_id", minhash_signature(F.col("shk"), n_hashes, seed).alias("sig"))
-    cands = _banded_candidates(sig, n_hashes, bands)
+    # collapse=False: the banded join here runs over the shingle-KEY space
+    # where measured collision multiplicity is low — the identical-sig
+    # group machinery costs more stages than the distinct it saves
+    cands = _banded_candidates(sig, n_hashes, bands, caches=caches, collapse=False)
     sa = shingled.select(F.col("_id").alias("id_a"), F.col("shk").alias("sh_a"))
     sb = shingled.select(F.col("_id").alias("id_b"), F.col("shk").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -52,6 +52,7 @@ def corpus_prep(
     bands: int = 4,
     quality_round: int = 6,
     jaccard_threshold: float = 0.8,
+    caches: list | None = None,
 ) -> DataFrame:
     """documents(doc_id, source, lang, text) -> surviving docs with stats.
 
@@ -60,7 +61,13 @@ def corpus_prep(
     of float formatting.
 
     ``jaccard_threshold``: minimum exact word-set Jaccard for a candidate
-    pair to count as a near-duplicate; band collisions below it survive."""
+    pair to count as a near-duplicate; band collisions below it survive.
+
+    ``caches``: pass a list to persist the multiply-read intermediates
+    (survivors of the exact dedup, their token sets, the LSH signature
+    frame) and receive them for caller-controlled unpersist — without it
+    the gate + md5-dedup subtree re-executes under every consumer
+    (4 subtrees at the funnel tail)."""
     t = F.col("text")
     stats = docs.select(
         "doc_id",
@@ -77,13 +84,24 @@ def corpus_prep(
     ex = gated.withColumn("content_key", F.md5("text"))
     keep = ex.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
     uniq = ex.join(keep, ["content_key", "doc_id"]).drop("content_key")
+    if caches is not None:
+        uniq = uniq.persist()
+        caches.append(uniq)
     # near-dup removal: LSH band candidates, VERIFIED by exact Jaccard over
     # the distinct word-token sets before the larger id is dropped — the
     # set intersection runs only on the O(candidates) pair rows
     toks = uniq.select(
         "doc_id", F.array_distinct(word_hash_tokens(F.col("text"))).alias("tokens")
     )
-    pairs = minhash_lsh_pairs(toks, "doc_id", "tokens", n_hashes=n_hashes, bands=bands)
+    if caches is not None:
+        toks = toks.persist()
+        caches.append(toks)
+    # collapse=False: input is exact-deduped two lines up, so identical
+    # signatures have no multiplicity left to collapse
+    pairs = minhash_lsh_pairs(
+        toks, "doc_id", "tokens", n_hashes=n_hashes, bands=bands, caches=caches,
+        collapse=False,
+    )
     ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tokens").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tokens").alias("tok_b"))
     inter = F.size(F.array_intersect(F.col("tok_a"), F.col("tok_b")))
