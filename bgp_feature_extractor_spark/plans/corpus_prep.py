@@ -37,9 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bgp_feature_extractor_spark.functions.text import (
-    quality_score,
-    token_count,
+    quality_score_w,
     word_hash_tokens,
+    words,
 )
 from bgp_feature_extractor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -69,13 +69,24 @@ def corpus_prep(
     the gate + md5-dedup subtree re-executes under every consumer
     (4 subtrees at the funnel tail)."""
     t = F.col("text")
-    stats = docs.select(
+    # word arrays projected once, stats via the *_w twins (functions/text.py)
+    wd = docs.select(
         "doc_id",
         "source",
         "lang",
         "text",
-        token_count(t).cast("long").alias("n_words"),
-        F.round(quality_score(t), quality_round).alias("quality"),
+        words(t).alias("_w"),
+        words(F.lower(t)).alias("_wl"),
+    )
+    stats = wd.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(quality_score_w(F.col("_w"), F.col("_wl"), t), quality_round).alias(
+            "quality"
+        ),
     )
     gated = stats.filter(
         (F.col("quality") >= F.lit(min_quality)) & (F.col("n_words") >= F.lit(min_words))

@@ -57,7 +57,10 @@ class CheckpointManager:
         df = spark.createDataFrame(
             rows, "stage string, bucket int, row_count long, status string, wall_ms long"
         )
-        df.coalesce(1).write.mode("append").parquet(self._lineage_path())
+        # repartition(1), not coalesce(1): shuffle-free coalesce of a
+        # parallelized local list pays one python-runner round trip per
+        # source sub-partition (~6s measured for 8 rows on local[32])
+        df.repartition(1).write.mode("append").parquet(self._lineage_path())
 
     # -- stage execution ----------------------------------------------------
     def bucket_col(self, key_col: str = "source"):
