@@ -384,17 +384,23 @@ def q_multi_width_rare(spark, sf_dir):
     ev = _doc_events(spark, sf_dir)
     cfg = dataclasses.replace(CFG, rare_block=10)
     firsts = first_ts_per_source(ev).cache()
+    # first_ts carried on the persisted rows -> per-width re-bin is a pure
+    # projection (operators/binning.with_bin fast path); the two arms'
+    # barriers run as overlapped jobs (guide §2.6)
+    fsel = F.broadcast(firsts.select("source", "first_ts"))
     arms = [
-        ("exact", rare_events_stream(ev, cfg).persist()),
+        ("exact", rare_events_stream(ev, cfg).join(fsel, "source").persist()),
         (
             "block",
-            rare_events_block(
-                ev, dataclasses.replace(cfg, rare_shard_paths=10)
-            ).persist(),
+            rare_events_block(ev, dataclasses.replace(cfg, rare_shard_paths=10))
+            .join(fsel, "source")
+            .persist(),
         ),
     ]
-    for _, rev in arms:
-        rev.count()  # barrier: both width branches read the cache
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda a: a[1].count(), arms))
     out = None
     for mode, rev in arms:
         for w in (1, 5):

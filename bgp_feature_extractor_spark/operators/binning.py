@@ -39,7 +39,13 @@ def with_bin(
         # replace semantics (ADVICE r3: the appending select would
         # otherwise produce a duplicate, ambiguous 'bin' column)
         df = df.drop("bin")
-    joined = df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
+    if "first_ts" in df.columns:
+        # anchor already carried on the rows (multi-width plans join it once
+        # before persisting the shared frame) — binning is a pure projection,
+        # no join per width (guide §2.4: remove shuffles/joins outright)
+        joined = df
+    else:
+        joined = df.join(F.broadcast(firsts.select("source", "first_ts")), "source")
     return joined.select(
         *[c for c in joined.columns if c != "first_ts"],
         ((F.col("ts") - F.col("first_ts")) / F.lit(cfg.bin_size))
@@ -57,8 +63,12 @@ def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None 
     whole classify/rare/UDF/agg pipeline a second time (verified via
     .explain: 28 exchanges before, half after)."""
     cfg = cfg or EngineConfig()
+    # first_ts rides ON the spine rows (the spine IS derived from firsts),
+    # so the timestamp reconstruction at the tail needs no second broadcast
+    # join back to firsts — one join per width instead of two (guide §2.4)
     spine = firsts.select(
         "source",
+        "first_ts",
         F.explode(
             F.sequence(
                 F.lit(0),
@@ -73,9 +83,8 @@ def dense_spine(per_bin: DataFrame, firsts: DataFrame, cfg: EngineConfig | None 
     out = out.na.fill(0.0, list(float_cols & set(value_cols)))
     ts2 = F.col("first_ts") + F.col("bin") * F.lit(cfg.bin_size)
     out = out.drop("timestamp2", "timestamp")  # replace, never duplicate
-    joined = out.join(F.broadcast(firsts.select("source", "first_ts")), "source")
-    return joined.select(
-        *[c for c in joined.columns if c != "first_ts"],
+    return out.select(
+        *[c for c in out.columns if c != "first_ts"],
         ts2.alias("timestamp2"),
         F.timestamp_seconds(ts2).alias("timestamp"),
     )

@@ -182,12 +182,16 @@ def multi_width_matrices(
     rare_mode = resolve_rare_mode(cfg, sizes)
 
     classified = classify(events, snapshot, cfg)
+    # carry the per-source bin anchor ON the persisted rows (one broadcast
+    # join here, before the persist) so each width's with_bin is a pure
+    # projection over the cache instead of a join — 6 joins removed
+    # (guide §2.4); one long per row of cache for it
     dist = (
         with_edit_distance(classified, "tokens", "prev_tokens")
         .drop("prev_tokens")
+        .join(F.broadcast(firsts.select("source", "first_ts")), "source")
         .persist()
     )
-    dist.count()  # materialization barrier: the 6 branches share the cache
     if caches is not None:
         caches.append(dist)
     raw = events.select(*EVENT_COLS)
@@ -207,10 +211,25 @@ def multi_width_matrices(
     elif rare_mode == "fold":
         rare_events = rare_events_fold(raw, cfg)
     if rare_events is not None:
-        rare_events = rare_events.persist()
-        rare_events.count()
+        rare_events = rare_events.join(
+            F.broadcast(firsts.select("source", "first_ts")), "source"
+        ).persist()
         if caches is not None:
             caches.append(rare_events)
+    # materialization barriers for the shared caches, OVERLAPPED: the
+    # classify+editdist branch and the rare recurrence are independent
+    # jobs, so submitting both counts from a 2-thread pool lets the rare
+    # kernel's single hot-source task back-fill cores the classify stage's
+    # tail leaves idle (guide §2.6 "overlap independent jobs") — serial
+    # barriers wasted the shorter job's wall-clock
+    from concurrent.futures import ThreadPoolExecutor
+
+    barriers = [dist] + ([rare_events] if rare_events is not None else [])
+    if len(barriers) > 1:
+        with ThreadPoolExecutor(max_workers=len(barriers)) as pool:
+            list(pool.map(lambda d: d.count(), barriers))
+    else:
+        dist.count()
 
     out = None
     for w in widths:
