@@ -376,7 +376,6 @@ def q_multi_width_rare(spark, sf_dir):
 
     from bgp_feature_extractor_spark.operators.binning import first_ts_per_source
     from bgp_feature_extractor_spark.operators.rare import (
-        rare_bins_from_events,
         rare_events_block,
         rare_events_stream,
     )
@@ -401,20 +400,34 @@ def q_multi_width_rare(spark, sf_dir):
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         list(pool.map(lambda a: a[1].count(), arms))
-    out = None
+    # mode AND width are data, not plan branches: one union of the two
+    # persisted arms (mode column), widths exploded, ONE groupBy over
+    # (rare_mode, minutes_window, source, bin) — value-identical to the
+    # former 4-branch union (per-group row sets are exactly the per-arm
+    # per-width sets) with ~1/4 the stages
+    union = None
     for mode, rev in arms:
-        for w in (1, 5):
-            wcfg = dataclasses.replace(cfg, minutes_window=w)
-            pb = rare_bins_from_events(rev, firsts, wcfg).select(
-                F.lit(mode).alias("rare_mode"),
-                F.lit(w).alias("minutes_window"),
-                "source",
-                "bin",
-                "number_rare_ases",
-                "rare_ases_max",
-                F.round("rare_ases_avg", EMB_ROUND).alias("rare_ases_avg"),
-            )
-            out = pb if out is None else out.unionByName(pb)
+        r = rev.select(F.lit(mode).alias("rare_mode"), "*")
+        union = r if union is None else union.unionByName(r)
+    widened = union.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(5))).alias("minutes_window")
+    )
+    bsz = (F.col("minutes_window") * F.lit(60)).cast("long")
+    binned = widened.select(
+        "rare_mode",
+        "minutes_window",
+        "source",
+        ((F.col("ts") - F.col("first_ts")) / bsz).cast("long").alias("bin"),
+        "rare",
+    )
+    out = (
+        binned.groupBy("rare_mode", "minutes_window", "source", "bin")
+        .agg(
+            F.sum("rare").alias("number_rare_ases"),
+            F.max("rare").alias("rare_ases_max"),
+            F.round(F.avg("rare"), EMB_ROUND).alias("rare_ases_avg"),
+        )
+    )
     return _materialized(out, [firsts, *(rev for _, rev in arms)])
 
 

@@ -65,7 +65,9 @@ def _as_path_avg_expr(len_col: Column) -> Column:
     )
 
 
-def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
+def fold_bin_aggregates(
+    raw_binned: DataFrame, keys: tuple[str, ...] = ("source", "bin")
+) -> DataFrame:
     """The aggregates that would de-optimize the main pass, computed on a slim
     projection of the RAW binned events (no classify/edit-distance dependency
     — kind/doc_id/ts/seq/tokens are source columns):
@@ -90,8 +92,7 @@ def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
     """
     is_ann = F.col("kind") == "ann"
     slim = raw_binned.select(
-        "source",
-        "bin",
+        *keys,
         "kind",
         "doc_id",
         "ts",
@@ -123,7 +124,7 @@ def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
     # The original concern (r1) was the distinct rewrite dragging the
     # collect_list fold through two exchanges — the fold lives in the
     # folded_small branch below, not here.
-    stats = slim.groupBy("source", "bin").agg(
+    stats = slim.groupBy(*keys).agg(
         n_paths.alias("_n_ann"),
         F.coalesce(F.max(F.when(is_ann, F.col("n_tok"))), F.lit(0)).alias("_max_len"),
         F.max_by(F.when(is_ann, F.col("n_tok")), F.when(is_ann, F.struct("ts", "seq"))).alias(
@@ -132,21 +133,19 @@ def fold_bin_aggregates(raw_binned: DataFrame) -> DataFrame:
         unique_as_path_avg.alias("unique_as_path_avg"),
         F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann"),
     )
-    small_keys = stats.filter(F.col("_n_ann") <= 2 * F.col("_max_len") + 1).select(
-        "source", "bin"
-    )
+    small_keys = stats.filter(F.col("_n_ann") <= 2 * F.col("_max_len") + 1).select(*keys)
     folded_small = (
-        slim.join(small_keys, ["source", "bin"], "left_semi")
-        .groupBy("source", "bin")
+        slim.join(small_keys, list(keys), "left_semi")
+        .groupBy(*keys)
         .agg(_as_path_avg_expr(F.col("n_tok")).alias("_fold_v"))
     )
     return (
-        stats.join(folded_small, ["source", "bin"], "left")
+        stats.join(folded_small, list(keys), "left")
         .withColumn(
             "as_path_avg",
             F.coalesce(F.col("_fold_v"), F.col("_last_len"), F.lit(0)).cast("long"),
         )
-        .select("source", "bin", "as_path_avg", "unique_as_path_avg", "nlri_ann")
+        .select(*keys, "as_path_avg", "unique_as_path_avg", "nlri_ann")
     )
 
 
@@ -215,6 +214,7 @@ def aggregate_bins(
     classified: DataFrame,
     cfg: EngineConfig | None = None,
     slim: DataFrame | None = None,
+    keys: tuple[str, ...] = ("source", "bin"),
 ) -> DataFrame:
     """classified: output of classify_* + rare stage (rare_ct, rare_gated)
     + edit_dist column. Returns one row per (source, bin).
@@ -245,13 +245,13 @@ def aggregate_bins(
         aggs.append(F.count_distinct(F.when(is_ann, F.col("doc_id"))).alias("nlri_ann"))
         aggs.append(_as_path_avg_expr(F.col("n_tok")).alias("as_path_avg"))
         aggs.append(unique_as_path_avg.alias("unique_as_path_avg"))
-        out = classified.groupBy("source", "bin").agg(*aggs)
+        out = classified.groupBy(*keys).agg(*aggs)
     else:
         # split form: plain sums stay whole-stage-codegen; fold / max_by /
         # distinct run on the slim raw branch and join back on the aligned
         # key set
-        main = classified.groupBy("source", "bin").agg(*aggs)
-        out = main.join(fold_bin_aggregates(slim), ["source", "bin"], "left").na.fill(
+        main = classified.groupBy(*keys).agg(*aggs)
+        out = main.join(fold_bin_aggregates(slim, keys), list(keys), "left").na.fill(
             {"as_path_avg": 0, "nlri_ann": 0, "unique_as_path_avg": 0}
         )
     # Q3: exported unique dict is a verbatim copy of the plain dict. ONE

@@ -1180,7 +1180,11 @@ def _dist_rare_per_path(slim: DataFrame, cfg: EngineConfig, carry: list[str]) ->
     )
 
 
-def join_rare(per_bin: DataFrame, rare_pb: DataFrame | None) -> DataFrame:
+def join_rare(
+    per_bin: DataFrame,
+    rare_pb: DataFrame | None,
+    keys: tuple[str, ...] = ("source", "bin"),
+) -> DataFrame:
     """Attach rare aggregates to the main per-bin matrix.
 
     Deliberately NOT a planner broadcast hint: ``F.broadcast(rare_pb)``
@@ -1198,7 +1202,7 @@ def join_rare(per_bin: DataFrame, rare_pb: DataFrame | None) -> DataFrame:
             .withColumn("rare_ases_max", F.lit(0).cast("long"))
             .withColumn("rare_ases_avg", F.lit(0.0))
         )
-    out = per_bin.join(rare_pb, ["source", "bin"], "left")
+    out = per_bin.join(rare_pb, list(keys), "left")
     return (
         out.withColumn("number_rare_ases", F.coalesce("number_rare_ases", F.lit(0)))
         .withColumn("rare_ases_max", F.coalesce("rare_ases_max", F.lit(0)))

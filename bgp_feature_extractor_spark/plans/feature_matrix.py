@@ -32,7 +32,6 @@ from bgp_feature_extractor_spark.operators.rare import (
     rare_bin_aggregates_block,
     rare_bin_aggregates_dist,
     rare_bin_aggregates_stream,
-    rare_bins_from_events,
     rare_events_block,
     rare_events_dist,
     rare_events_fold,
@@ -167,8 +166,6 @@ def multi_width_matrices(
     calls in one long session would otherwise accumulate cached
     partitions unboundedly). The per-bin aggregation, slim fold pass,
     spine and fill still run per width, as they must."""
-    import dataclasses
-
     cfg = cfg or EngineConfig()
     firsts = first_ts_per_source(events).cache()
     if caches is not None:
@@ -231,22 +228,75 @@ def multi_width_matrices(
     else:
         dist.count()
 
-    out = None
-    for w in widths:
-        wcfg = dataclasses.replace(cfg, minutes_window=w)
-        binned = with_bin(dist, firsts, wcfg)
-        raw_binned = with_bin(raw, firsts, wcfg)
-        per_bin = aggregate_bins(binned, wcfg, slim=raw_binned)
-        if rare_events is not None:
-            rare_pb = rare_bins_from_events(rare_events, firsts, wcfg)
-        else:
-            rare_pb = None
-        per_bin = join_rare(per_bin, rare_pb)
-        dense = dense_spine(per_bin, firsts, wcfg)
-        m = dense.select("source", "bin", *golden_columns(wcfg))
-        m = m.select(F.lit(int(w)).alias("minutes_window"), "*")
-        out = m if out is None else out.unionByName(m)
-    return out
+    # Width is DATA, not a plan branch (r6): every row of the shared frames
+    # is exploded across the width set and the whole matrix runs as ONE
+    # aggregation/join pipeline keyed by (minutes_window, source, bin).
+    # Per-(width,source,bin) aggregation over the exploded rows processes
+    # exactly the per-width row sets, so every aggregate (including the
+    # order-dependent A5 fold over the array_sort'ed collect_list and the
+    # exact distinct) is value-identical to the former per-width loop —
+    # but the plan has ~1/6 the stages, reads each persisted cache once
+    # instead of six times, and shuffles the same per-bin bytes in one
+    # exchange instead of six (the former unionByName of six branches cost
+    # ~5 exchanges per width and dominated wall-clock at small SF; at
+    # 10^12 rows the six cache scans were the larger waste).
+    widths = tuple(int(w) for w in widths)
+    warr = F.array(*[F.lit(w) for w in widths])
+    keys = ("minutes_window", "source", "bin")
+    bsz = (F.col("minutes_window") * F.lit(60)).cast("long")  # == wcfg.bin_size
+
+    def widen(df: DataFrame) -> DataFrame:
+        # df carries ts + first_ts; bin arithmetic is identical to
+        # with_bin's, with the width literal replaced by the exploded column
+        d = df.select("*", F.explode(warr).alias("minutes_window"))
+        return d.select(
+            *[c for c in d.columns if c != "first_ts"],
+            ((F.col("ts") - F.col("first_ts")) / bsz).cast("long").alias("bin"),
+        )
+
+    fsel = F.broadcast(firsts.select("source", "first_ts"))
+    binned = widen(dist)
+    raw_binned = widen(raw.join(fsel, "source"))
+    per_bin = aggregate_bins(binned, cfg, slim=raw_binned, keys=keys)
+    if rare_events is not None:
+        rare_pb = (
+            widen(rare_events)
+            .groupBy(*keys)
+            .agg(
+                F.sum("rare").alias("number_rare_ases"),
+                F.max("rare").alias("rare_ases_max"),
+                F.avg("rare").alias("rare_ases_avg"),
+            )
+        )
+    else:
+        rare_pb = None
+    per_bin = join_rare(per_bin, rare_pb, keys=keys)
+
+    # dense spine per (width, source): 0..max_bin_w, first_ts riding along
+    spine = firsts.select(
+        "source", "first_ts", "last_ts", F.explode(warr).alias("minutes_window")
+    ).select(
+        "minutes_window",
+        "source",
+        "first_ts",
+        F.explode(
+            F.sequence(
+                F.lit(0), ((F.col("last_ts") - F.col("first_ts")) / bsz).cast("long")
+            )
+        ).alias("bin"),
+    )
+    float_cols = {"edit_distance_avg", "rare_ases_avg"}
+    value_cols = [c for c in per_bin.columns if c not in keys]
+    dense = spine.join(per_bin, list(keys), "left")
+    dense = dense.na.fill(0, [c for c in value_cols if c not in float_cols])
+    dense = dense.na.fill(0.0, list(float_cols & set(value_cols)))
+    ts2 = F.col("first_ts") + F.col("bin") * bsz
+    dense = dense.select(
+        *[c for c in dense.columns if c != "first_ts"],
+        ts2.alias("timestamp2"),
+        F.timestamp_seconds(ts2).alias("timestamp"),
+    )
+    return dense.select("minutes_window", "source", "bin", *golden_columns(cfg))
 
 
 def to_reference_csv(matrix: DataFrame, path: str, cfg: EngineConfig | None = None) -> None:
