@@ -297,9 +297,10 @@ def q_label_ratios(spark, sf_dir):
 
 def q_multi_width(spark, sf_dir):
     """The reference's full run matrix — one feature matrix per timebin
-    width {1,5,10,15,60,120} min (label_csv.py:302), unioned with a
-    minutes_window column so ONE action executes all widths as overlapping
-    DAG branches."""
+    width {1,5,10,15,60,120} min (label_csv.py:302). Width is a DATA
+    column (rows exploded across the width set) so ONE aggregation/join
+    pipeline keyed by (minutes_window, source, bin) executes all widths —
+    see plans/feature_matrix.multi_width_matrices."""
     from bgp_feature_extractor_spark.plans.feature_matrix import multi_width_matrices
 
     caches: list[DataFrame] = []

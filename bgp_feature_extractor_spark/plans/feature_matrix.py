@@ -150,22 +150,26 @@ def multi_width_matrices(
     passes), the Arrow Levenshtein UDF, and the Q5 per-source sequential
     rare recurrence depend only on event order, never on ``bin_size``
     (reference: widths only change the bin divisor,
-    bgpmetrics_as.py:279-280). They are computed ONCE here and persisted;
-    each width then re-bins and re-aggregates the shared frames — a cheap
-    groupBy per width instead of six full pipelines (the r2 plan re-ran
-    the classify exchange and the rare kernel 6x, VERDICT r2 #2).
+    bgpmetrics_as.py:279-280). They are computed ONCE here and persisted
+    (the r2 plan re-ran the classify exchange and the rare kernel 6x,
+    VERDICT r2 #2); the widths then run as DATA, not plan branches (r6):
+    cached rows are exploded across the width set and the per-bin
+    aggregation, slim fold pass, rare re-bin, spine and fill execute as
+    ONE pipeline keyed by (minutes_window, source, bin) — value-identical
+    to six independent pipelines (per-group row sets are the per-width
+    sets; asserted row-for-row in tests/test_r6_optimizations.py), with
+    ~1/6 the stages and one read of each cache instead of six.
 
     Persist note: ``classified+edit_dist`` and the per-event rare counts
-    are persisted and eagerly materialized (one count() action each) so
-    the six union branches all read the cache instead of racing to
+    are persisted and eagerly materialized (two overlapped count()
+    actions) so the consumers read the cache instead of racing to
     recompute it inside one job. The returned DataFrame is lazy, so this
     function cannot unpersist them itself; pass ``caches`` (a list) to
     receive every persisted frame (incl. the ``firsts`` cache) for
     caller-controlled ``unpersist()`` once the result is consumed —
     otherwise they stay cached until session end (ADVICE r3: repeated
     calls in one long session would otherwise accumulate cached
-    partitions unboundedly). The per-bin aggregation, slim fold pass,
-    spine and fill still run per width, as they must."""
+    partitions unboundedly)."""
     cfg = cfg or EngineConfig()
     firsts = first_ts_per_source(events).cache()
     if caches is not None:
