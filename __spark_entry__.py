@@ -62,8 +62,9 @@ def _materialized(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
     persisted classify/editdist/rare frames for the whole session). The
     only residual is the bounded result frame itself — callers that keep
     the session alive can ``.unpersist()`` the returned frame once
-    consumed (tests/test_plan_quality asserts zero persistent RDDs remain
-    after that)."""
+    consumed (tests/test_plan_quality.py::test_materialized_frees_all_caches
+    asserts via ``getPersistentRDDs`` that zero query-introduced persistent
+    RDDs remain after that)."""
     out = out.persist()
     out.count()
     for c in caches:
